@@ -9,13 +9,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fdtpu.core import (
-    decode_filter_nms,
-    decode_grid,
-    encode_grid_targets,
-    nms,
-    pad_boxes,
-)
+import functools
+
+from fdtpu.core import decode_grid, pad_boxes
+from fdtpu.core import decode_filter_nms as _dfn
+from fdtpu.core import encode_grid_targets as _egt
+
+# jit once per shape so trial loops don't re-trace (thresholds traced)
+decode_filter_nms = jax.jit(_dfn, static_argnums=(1, 2, 5))
+encode_grid_targets = jax.jit(_egt, static_argnums=(2, 3))
 
 S = 10
 IMG = (480, 480)  # (width, height)
@@ -103,7 +105,7 @@ def test_encode_is_jit_and_vmap_able(rng):
     mask = np.zeros((4, 8), dtype=bool)
     mask[:, :3] = True
     fn = jax.jit(
-        jax.vmap(lambda b, m: encode_grid_targets(b, m, S, IMG))
+        jax.vmap(lambda b, m: _egt(b, m, S, IMG))
     )
     fms = fn(jnp.asarray(padded), jnp.asarray(mask))
     assert fms.shape == (4, S, S, 5)

@@ -7,7 +7,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fdtpu.core import nms
+from fdtpu.core import nms as _nms
+
+# jit once (thresholds traced, capacity static) so trial loops don't re-trace
+nms = jax.jit(_nms, static_argnums=(3, 4))
 
 
 def _nms_oracle(boxes_xyxy, scores, iou_thr):
@@ -98,6 +101,6 @@ def test_nms_identical_boxes_suppressed():
 
 def test_nms_batched_vmap(rng):
     cand = np.stack([_random_candidates(rng, 20) for _ in range(3)])
-    fn = jax.jit(jax.vmap(lambda c: nms(c, 0.3, 0.4, capacity=32)))
+    fn = jax.jit(jax.vmap(lambda c: _nms(c, 0.3, 0.4, capacity=32)))
     boxes, keep = fn(jnp.asarray(cand))
     assert boxes.shape == (3, 32, 5) and keep.shape == (3, 32)

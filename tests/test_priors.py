@@ -7,15 +7,20 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from fdtpu.core import (
     calculate_priors,
     decode_ssd,
-    encode_ssd_targets,
     num_priors,
     pad_boxes,
     prior_scales,
-    ssd_decode_filter_nms,
 )
+from fdtpu.core import encode_ssd_targets as _est
+from fdtpu.core import ssd_decode_filter_nms as _sdfn
+
+encode_ssd_targets = jax.jit(_est, static_argnums=(2, 3))
+ssd_decode_filter_nms = jax.jit(_sdfn, static_argnums=(1, 2, 5))
 
 PS = (60, 30, 15, 7)
 IMG = (480, 480)
