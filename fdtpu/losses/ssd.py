@@ -1,0 +1,93 @@
+"""SSD loss: hard-negative-mining BCE + smooth-L1, fully masked/vectorized.
+
+Re-designs ``ssd_loss`` (``/root/reference/losses/SSDLoss.py:56-86``) and
+``hard_negative_mining`` (``SSDLoss.py:25-53``) without data-dependent boolean
+indexing: every selection is a multiplicative mask, so the whole loss is one
+static-shape XLA program.
+
+Reference semantics preserved:
+
+* mining ranks negatives per image by ``-log(confidence)`` under stop-gradient
+  (``SSDLoss.py:65-70``), keeps all positives plus the top
+  ``neg_pos_ratio * num_pos`` negatives via the double-argsort rank trick
+  (``SSDLoss.py:47-52``);
+* classification is a manual sum-reduced BCE with an ``1e-7`` clamp
+  (``CustomBCELoss``, ``SSDLoss.py:7-22`` — exists because ``nn.BCELoss``
+  broke under autocast) against **rounded** labels (``SSDLoss.py:73``; labels
+  carry the 0.001*ps confidence docking, so rounding restores 1.0);
+* localisation is sum-reduced smooth-L1 (beta=1) on positive priors
+  (``SSDLoss.py:78-84``);
+* total is ``(smooth_l1 + bce) / num_pos`` with ``num_pos`` summed over the
+  batch (``SSDLoss.py:85-86``). We guard ``num_pos == 0`` (the reference
+  would emit NaN).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-7  # CustomBCELoss epsilon (SSDLoss.py:13)
+
+
+def hard_negative_mining(
+    loss: jnp.ndarray, labels: jnp.ndarray, neg_pos_ratio: float
+) -> jnp.ndarray:
+    """Per-image mask keeping all positives + hardest negatives.
+
+    Args:
+      loss: ``(B, N)`` per-prior mining loss (higher = harder negative).
+      labels: ``(B, N)`` target confidences; positive where ``> 0``.
+      neg_pos_ratio: max negatives kept per positive (``ModelMetaSSD.py:175``
+        passes 10).
+
+    Returns ``(B, N)`` bool mask. Math from ``SSDLoss.py:39-53``.
+    """
+    pos_mask = labels > 0
+    num_pos = jnp.sum(pos_mask, axis=1, keepdims=True)
+    num_neg = num_pos * neg_pos_ratio
+
+    ranked_loss = jnp.where(pos_mask, -jnp.inf, loss)  # SSDLoss.py:47
+    # Double argsort: orders[b, n] = rank of prior n in descending-loss order.
+    indexes = jnp.argsort(-ranked_loss, axis=1)
+    orders = jnp.argsort(indexes, axis=1)
+    neg_mask = orders < num_neg
+    return pos_mask | neg_mask
+
+
+def smooth_l1(diff: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    """Elementwise smooth-L1 (Huber), matching ``F.smooth_l1_loss``."""
+    abs_diff = jnp.abs(diff)
+    return jnp.where(abs_diff < beta, 0.5 * diff**2 / beta, abs_diff - 0.5 * beta)
+
+
+def ssd_loss(
+    confidence: jnp.ndarray,
+    predicted_locations: jnp.ndarray,
+    labels: jnp.ndarray,
+    gt_locations: jnp.ndarray,
+    neg_pos_ratio: float,
+) -> jnp.ndarray:
+    """Batched SSD loss -> scalar.
+
+    Args:
+      confidence: ``(B, N)`` post-sigmoid prior scores.
+      predicted_locations: ``(B, N, 4)`` decoded (priors applied) locations.
+      labels: ``(B, N)`` target confidences (docked; positive where > 0).
+      gt_locations: ``(B, N, 4)`` target locations.
+      neg_pos_ratio: hard-negative ratio.
+    """
+    mining_loss = -jnp.log(jnp.clip(jax.lax.stop_gradient(confidence), _EPS, 1.0))
+    mask = hard_negative_mining(mining_loss, labels, neg_pos_ratio)
+
+    conf = jnp.clip(confidence, _EPS, 1.0 - _EPS)  # SSDLoss.py:14
+    bce_targets = jnp.round(labels)  # SSDLoss.py:73
+    bce = -(bce_targets * jnp.log(conf) + (1.0 - bce_targets) * jnp.log(1.0 - conf))
+    classification_loss = jnp.sum(jnp.where(mask, bce, 0.0))
+
+    pos_mask = labels > 0
+    loc_err = smooth_l1(predicted_locations - gt_locations)
+    localisation_loss = jnp.sum(loc_err * pos_mask[..., None])
+
+    num_pos = jnp.sum(pos_mask)
+    return (localisation_loss + classification_loss) / jnp.maximum(num_pos, 1)
