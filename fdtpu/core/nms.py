@@ -116,6 +116,25 @@ def ssd_decode_filter_nms(
     return nms(cand, probability_threshold, iou_threshold, capacity)
 
 
+def ssd_output_filter_nms(
+    x: jnp.ndarray,
+    image_size: tuple[int, int],
+    probability_threshold: float,
+    iou_threshold: float,
+    capacity: int = DEFAULT_CAPACITY,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Filter + NMS for **SSD model output**, which already has priors applied
+    in-graph (``/root/reference/models/SSD.py:248``): only pixel scaling
+    remains — the reference's ``with_priors=False`` decode path
+    (``utils.py:57-67`` default, wired at ``SSD.py:118-124``).
+
+    ``x``: ``(N, 5)`` normalized ``[score, x, y, w, h]``. Unbatched; vmap.
+    """
+    width, height = image_size
+    sx = jnp.asarray([1.0, width, height, width, height], dtype=x.dtype)
+    return nms(x * sx, probability_threshold, iou_threshold, capacity)
+
+
 def compact_boxes(boxes, mask):
     """Host-side helper: drop masked rows -> ragged ``(n, 5)`` numpy array,
     matching the reference's ragged return (``utils.py:166-170``)."""

@@ -1,0 +1,133 @@
+"""Model zoo shape/geometry tests against the reference's arithmetic
+(SURVEY.md §2.3): output grids, prior counts, predict API, dropout behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fdtpu.models import (
+    Detector,
+    MobileNetV3Backbone,
+    PoolResnet,
+    Resnet,
+    SeparableCNN,
+    SSD,
+    ssd_patch_sizes,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _fwd(module, size, batch=1, train=False, rngs=None, mutable=False):
+    x = jnp.zeros((batch, size, size, 3), jnp.float32)
+    variables = module.init(KEY, x, train=False)
+    kwargs = {}
+    if mutable:
+        kwargs["mutable"] = ["batch_stats"]
+    out = module.apply(variables, x, train=train, rngs=rngs, **kwargs)
+    return out[0] if mutable else out
+
+
+SMALL = dict(filters=8, num_residual_blocks=3)
+
+
+def test_poolresnet_480_grid10():
+    # train_model.py:27-32 config arithmetic: 480/8=60 -> pool to 15 -> k6 -> 10
+    m = PoolResnet(input_shape=(480, 480), num_patches=10, **SMALL)
+    assert m.grid_size() == 10
+    out = _fwd(m, 480)
+    assert out.shape == (1, 10, 10, 5)
+    assert float(out.min()) >= 0 and float(out.max()) <= 1  # post-sigmoid
+
+
+def test_poolresnet_320_grid15():
+    m = PoolResnet(input_shape=(320, 320), num_patches=15, **SMALL)
+    # 320 -> stem 40 -> (40 > 30) pool -> 20 -> k6 valid -> 15
+    assert m.grid_size() == 15
+    assert _fwd(m, 320).shape == (1, 15, 15, 5)
+
+
+def test_resnet_grid_arithmetic():
+    # Resnet.py __main__ config: stem 240 -> pools to 15 -> k3 pad1 -> 15
+    # (4 pooling blocks needed: 240 -> 120 -> 60 -> 30 -> 15)
+    m = Resnet(input_shape=(480, 480), num_patches=15, filters=8, num_residual_blocks=4)
+    assert m.grid_size() == 15
+    # run the forward at a small size: 160 -> stem 80 -> pools to 10
+    m = Resnet(input_shape=(160, 160), num_patches=10, **SMALL)
+    assert m.grid_size() == 10
+    assert _fwd(m, 160).shape == (1, 10, 10, 5)
+
+
+def test_separable_grid():
+    m = SeparableCNN(input_shape=(480, 480), num_patches=16, **SMALL)
+    assert m.grid_size() == 10  # stem 60, pools 60->30->15 (>16), head k6: 15-6+1
+    m = SeparableCNN(input_shape=(160, 160), num_patches=16, **SMALL)
+    assert _fwd(m, 160).shape == (1, m.grid_size(), m.grid_size(), 5)
+
+
+def test_ssd_480_prior_arithmetic():
+    assert ssd_patch_sizes((480, 480)) == (60, 30, 15, 7)  # SSD.py:99
+    assert sum(p * p for p in ssd_patch_sizes((480, 480))) == 4774
+
+
+def test_ssd_forward():
+    ps = ssd_patch_sizes((160, 160))
+    m = SSD(filters=4, input_shape=(160, 160), patch_sizes=ps)
+    out = _fwd(m, 160)
+    assert out.shape == (1, sum(p * p for p in ps), 5)
+    s = np.asarray(out[0, :, 0])
+    assert (s >= 0).all() and (s <= 1).all()  # sigmoid on scores only
+
+
+def test_ssd_320_patch_sizes():
+    ps = ssd_patch_sizes((320, 320))
+    assert ps == (40, 20, 10, 5)
+    m = SSD(filters=4, input_shape=(320, 320), patch_sizes=ps)
+    n = sum(p * p for p in ps)
+    assert _fwd(m, 320).shape == (1, n, 5)
+
+
+def test_mobilenetv3_grid():
+    assert MobileNetV3Backbone(input_shape=(480, 480), num_patches=15).grid_size() == 15
+    m = MobileNetV3Backbone(input_shape=(160, 160), num_patches=5)
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    variables = m.init(KEY, x, train=False)
+    assert "batch_stats" in variables  # BN running stats
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (1, 5, 5, 5)
+    # 576-channel feature map before the head (MobilenetV3Backbone.py:40)
+    assert variables["params"]["head"]["kernel"].shape == (3, 3, 576, 5)
+
+
+def test_dropout_active_in_train_mode():
+    m = PoolResnet(input_shape=(160, 160), num_patches=10, **SMALL)
+    x = jnp.ones((1, 160, 160, 3), jnp.float32)
+    variables = m.init(KEY, x, train=False)
+    a = m.apply(variables, x, train=False)
+    b = m.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = m.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    d = m.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(c), np.asarray(d))
+
+
+def test_detector_predict_api():
+    m = PoolResnet(input_shape=(480, 480), num_patches=10, **SMALL)
+    det = Detector(m, probability_threshold=0.5, iou_threshold=0.5, nms_capacity=16)
+    det.init(KEY)
+    # arbitrary-size uint8 input, like BaseModel.predict (BaseModel.py:56-71)
+    img = (np.random.default_rng(0).uniform(0, 255, (600, 800, 3))).astype(np.uint8)
+    norm, boxes, mask = det.predict(img)
+    assert norm.shape == (480, 480, 3)
+    assert boxes.shape == (16, 5) and mask.shape == (16,)
+    assert float(norm.max()) <= 1.0
+
+
+def test_detector_batch_nms():
+    m = SSD(filters=4, input_shape=(160, 160), patch_sizes=ssd_patch_sizes((160, 160)))
+    det = Detector(m, nms_capacity=8)
+    det.init(KEY)
+    out = det.apply(jnp.zeros((2, 160, 160, 3)))
+    boxes, mask = det.non_max_suppression(out)
+    assert boxes.shape == (2, 8, 5) and mask.shape == (2, 8)
