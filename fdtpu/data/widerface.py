@@ -1,0 +1,120 @@
+"""WIDERFace download + annotation parsing.
+
+Host-side, numpy-only re-design of ``WIDERFaceDataModule``'s data acquisition
+(``/root/reference/datasets/WIDERFace/datamodule.py:15-103``):
+
+* the same download table (Google Drive + CUHK mirror URLs,
+  ``datamodule.py:15-32``) — but this environment has no egress and no
+  ``gdown``, so :func:`download_dataset_files` only checks/extracts local
+  archives and raises a clear error otherwise;
+* the same ``wider_face_<split>_bbx_gt.txt`` parser (``datamodule.py:69-99``):
+  filename line -> face-count line -> per-face ``x y w h ...`` rows, keeping
+  the first 4 numbers and prepending class confidence 1.0;
+* the same crowding filters: YOLO keeps images with ``< 3`` faces
+  (``datamodule.py:102``), SSD ``< 120`` (``datamodule_ssd.py:103``).
+"""
+
+from __future__ import annotations
+
+import zipfile
+from pathlib import Path
+
+import numpy as np
+
+DATASET_LINKS = {
+    "train": {
+        "url": "https://drive.google.com/u/0/uc?export=download&confirm=AB-4&id=0B6eKvaijfFUDQUUwd21EckhUbWs",
+        "output": "WIDER_train.zip",
+    },
+    "val": {
+        "url": "https://drive.google.com/u/0/uc?export=download&confirm=aVur&id=0B6eKvaijfFUDd3dIRmpvSk8tLUk",
+        "output": "WIDER_val.zip",
+    },
+    "test": {
+        "url": "https://drive.google.com/u/0/uc?export=download&confirm=7vAN&id=0B6eKvaijfFUDbW4tdGpaYjgzZkU",
+        "output": "WIDER_test.zip",
+    },
+    "target": {
+        "url": "http://mmlab.ie.cuhk.edu.hk/projects/WIDERFace/support/bbx_annotation/wider_face_split.zip",
+        "output": "wider_face_split.zip",
+    },
+}
+
+
+def download_dataset_files(data_dir: str | Path) -> None:
+    """Ensure the WIDERFace archives are present and extracted.
+
+    The reference uses ``gdown.cached_download`` (``datamodule.py:60-67``);
+    without egress we extract any local zips and otherwise raise with the
+    URLs so a user can fetch them out of band.
+    """
+    data_dir = Path(data_dir)
+    data_dir.mkdir(parents=True, exist_ok=True)
+    missing = []
+    for split, link in DATASET_LINKS.items():
+        folder = data_dir / Path(link["output"]).stem
+        zip_path = data_dir / link["output"]
+        if folder.exists():
+            continue
+        if zip_path.exists():
+            with zipfile.ZipFile(zip_path) as zf:
+                zf.extractall(data_dir)
+            continue
+        missing.append(f"  {split}: {link['url']} -> {zip_path}")
+    if missing:
+        raise FileNotFoundError(
+            "WIDERFace archives missing (no network egress here); download "
+            "manually:\n" + "\n".join(missing)
+        )
+
+
+def parse_wider_annotations(
+    data_dir: str | Path, split: str = "train"
+) -> list[dict]:
+    """Parse ``wider_face_<split>_bbx_gt.txt`` into target dicts.
+
+    Returns ``[{"img_path": Path, "number_faces": int, "bbx": (n, 5) float32
+    array of [1.0, x, y, w, h]}]`` — the reference's structure
+    (``datamodule.py:69-99``) with numpy in place of torch tensors.
+    """
+    data_dir = Path(data_dir)
+    ann = data_dir / "wider_face_split" / f"wider_face_{split}_bbx_gt.txt"
+    lines = ann.read_text().split("\n")
+    targets: list[dict] = []
+    target: dict = {}
+    for line_no, line in enumerate(lines):
+        if len(line) == 0:
+            continue
+        if line[-3:] == "jpg":
+            if line_no > 1:
+                targets.append(target)
+            img_path = data_dir / f"WIDER_{split}" / "images" / line
+            assert img_path.exists(), (
+                f"Image for this target does not exist: {img_path}"
+            )
+            target = {"img_path": img_path, "number_faces": 0, "bbx": []}
+        else:
+            parts = line.split()
+            if len(parts) == 1:
+                target["number_faces"] = int(line)
+            else:
+                target["bbx"].append([1.0] + [float(v) for v in parts[:4]])
+    targets.append(target)
+    for t in targets:
+        t["bbx"] = np.asarray(t["bbx"], dtype=np.float32).reshape(-1, 5)
+    return targets
+
+
+def load_targets(
+    data_dir: str | Path,
+    split: str = "train",
+    max_faces: int = 3,
+) -> list[dict]:
+    """Parse + crowding filter.
+
+    ``max_faces=3`` reproduces the YOLO pipeline's ``< 3`` filter
+    (``datamodule.py:102``); pass 120 for the SSD pipeline
+    (``datamodule_ssd.py:103``).
+    """
+    targets = parse_wider_annotations(data_dir, split)
+    return [t for t in targets if t["bbx"].shape[0] < max_faces]

@@ -1,0 +1,114 @@
+"""Data pipeline tests: synthetic WIDERFace-format dataset, annotation parser
+semantics (``/root/reference/datasets/WIDERFace/datamodule.py:69-103``), host
+loader shapes, and the on-device augmentation pipeline's box-consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fdtpu.data import (
+    BatchLoader,
+    WIDERFaceDataSource,
+    augment_batch,
+    load_targets,
+    make_synthetic_widerface,
+    parse_wider_annotations,
+    resize_only_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    return make_synthetic_widerface(
+        tmp_path_factory.mktemp("wider"), num_images=12, max_faces=3
+    )
+
+
+def test_parser_structure(data_dir):
+    targets = parse_wider_annotations(data_dir, "train")
+    assert len(targets) == 12
+    for t in targets:
+        assert t["img_path"].exists()
+        assert t["bbx"].shape[1] == 5
+        assert t["number_faces"] == t["bbx"].shape[0]
+        assert (t["bbx"][:, 0] == 1.0).all()  # class confidence prepended
+
+
+def test_crowding_filter(data_dir):
+    # < 3 faces filter (datamodule.py:102)
+    targets = load_targets(data_dir, "train", max_faces=3)
+    assert all(t["bbx"].shape[0] < 3 for t in targets)
+    assert len(targets) < 12  # fixture includes 3-face images
+
+
+def test_source_resize_and_padding(data_dir):
+    targets = load_targets(data_dir, "train", max_faces=3)
+    src = WIDERFaceDataSource(targets, (320, 320), box_capacity=4)
+    img, boxes, mask = src.get(0)
+    assert img.shape == (320, 320, 3) and img.dtype == np.uint8
+    assert boxes.shape == (4, 5) and mask.shape == (4,)
+    n = targets[0]["bbx"].shape[0]
+    assert mask.sum() == n
+    # boxes scaled into the resized frame
+    assert (boxes[mask][:, 1] + boxes[mask][:, 3] <= 321).all()
+
+
+def test_batch_loader_shapes_and_partial_batch(data_dir):
+    targets = load_targets(data_dir, "train", max_faces=3)
+    src = WIDERFaceDataSource(targets, (160, 160), box_capacity=4)
+    loader = BatchLoader(src, batch_size=4, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    total = sum(b.sample_mask.sum() for b in batches)
+    assert total == len(targets)
+    for b in batches:
+        assert b.images.shape == (4, 160, 160, 3)
+        assert b.boxes.shape == (4, 4, 5)
+
+
+def test_augment_batch_box_consistency(data_dir):
+    """Augmented boxes must stay inside the image and keep fixed shapes;
+    with flips/crops/rotations disabled by seed selection we can't assert
+    exact coords, so assert invariants over many seeds."""
+    targets = load_targets(data_dir, "train", max_faces=3)
+    src = WIDERFaceDataSource(targets, (160, 160), box_capacity=4)
+    img, boxes, mask = src.get(0)
+    imgs = jnp.asarray(img[None].repeat(8, 0))
+    bx = jnp.asarray(boxes[None].repeat(8, 0))
+    mk = jnp.asarray(mask[None].repeat(8, 0))
+    out_img, out_boxes, out_mask = augment_batch(jax.random.PRNGKey(3), imgs, bx, mk)
+    assert out_img.shape == (8, 160, 160, 3) and out_img.dtype == jnp.float32
+    assert float(out_img.min()) >= 0.0 and float(out_img.max()) <= 1.0
+    ob, om = np.asarray(out_boxes), np.asarray(out_mask)
+    assert not om[~np.asarray(mk)].any()  # padding never becomes valid
+    valid = ob[om]
+    assert (valid[:, 1] >= 0).all() and (valid[:, 2] >= 0).all()
+    assert (valid[:, 1] + valid[:, 3] <= 160.5).all()
+    assert (valid[:, 3] * valid[:, 4] >= 10).all()  # min_area
+    np.testing.assert_array_equal(valid[:, 1:], np.round(valid[:, 1:]))
+
+
+def test_augment_no_op_paths_keep_boxes(data_dir):
+    """With all random gates off (probability 0 via direct call of the val
+    path), boxes pass through unchanged."""
+    targets = load_targets(data_dir, "train", max_faces=3)
+    src = WIDERFaceDataSource(targets, (160, 160), box_capacity=4)
+    img, boxes, mask = src.get(0)
+    out_img, out_boxes, out_mask = resize_only_batch(
+        jnp.asarray(img[None]), jnp.asarray(boxes[None]), jnp.asarray(mask[None])
+    )
+    np.testing.assert_allclose(np.asarray(out_boxes)[0], boxes)
+    assert float(out_img.max()) <= 1.0
+
+
+def test_degenerate_box_fallback(tmp_path):
+    root = make_synthetic_widerface(tmp_path, num_images=3)
+    targets = parse_wider_annotations(root, "train")
+    # poison index 1 with an all-zero box (dataset.py:97-99 fallback)
+    targets[1]["bbx"] = np.zeros((1, 5), dtype=np.float32)
+    targets[1]["bbx"][0, 0] = 1.0
+    src = WIDERFaceDataSource(targets, (160, 160), box_capacity=4, error_log=None)
+    img1, boxes1, mask1 = src.get(1)
+    img0, boxes0, mask0 = src.get(0)
+    np.testing.assert_array_equal(boxes1, boxes0)
