@@ -87,7 +87,7 @@ class Detector:
         return _nms_batch(
             output,
             is_ssd(self.module),
-            getattr(self.module, "num_patches", 0) or output.shape[1],
+            0 if is_ssd(self.module) else self.module.grid_size(),
             self.image_size,
             self.probability_threshold,
             self.iou_threshold,
@@ -121,7 +121,7 @@ class Detector:
             jnp.asarray(image),
             (h, w),
             is_ssd(self.module),
-            getattr(self.module, "num_patches", 0),
+            0 if is_ssd(self.module) else self.module.grid_size(),
             prob,
             iou,
             self.nms_capacity,

@@ -1,0 +1,41 @@
+"""Orbax checkpointing: resumable train-state save/restore.
+
+The reference relies on Lightning's auto-saved ``.ckpt`` files and manual
+``torch.load``+``load_state_dict`` resume (``/root/reference/
+run_validation_epoch.py:48-51``; recipes commented at
+``train_model.py:41-44``). Here checkpoints are Orbax pytrees holding params,
+BatchNorm stats, optimizer state, and the step counter, so a resumed run is
+bitwise-continuous.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import orbax.checkpoint as ocp
+
+from fdtpu.train.state import TrainState
+
+
+def save_checkpoint(ckpt_dir: str | Path, state: TrainState, step: int | None = None):
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    step = int(state.step) if step is None else step
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt_dir / f"step_{step:08d}", state, force=True)
+    return ckpt_dir / f"step_{step:08d}"
+
+
+def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    steps = sorted(ckpt_dir.glob("step_*"))
+    return steps[-1] if steps else None
+
+
+def restore_checkpoint(path: str | Path, template: TrainState) -> TrainState:
+    """Restore into the structure of ``template`` (shapes/dtypes must match)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(path).absolute(), template)

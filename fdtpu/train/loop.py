@@ -1,0 +1,162 @@
+"""Epoch training loop — the ``pytorch_lightning.Trainer`` + ``ModelMeta``
+replacement (``/root/reference/train_model.py:47-60``,
+``models/ModelMeta.py:115-322``).
+
+Responsibilities, mirrored from the reference:
+
+* fit over N epochs with per-epoch validation;
+* per-epoch metric aggregation + F1 and console/file logging
+  (``ModelMeta.py:241-313``);
+* first-batch visualization to ``imgs/{train,validation}_epoch_N.png``
+  (``ModelMeta.py:144-157``);
+* checkpoint every epoch (Lightning auto-save equivalent) with resume;
+* MultiStepLR is baked into the optax schedule (see ``train/state.py``).
+
+TPU-native differences: one jitted step (no Python-per-sample work), device
+augmentation, optional NaN debugging via ``jax.config`` instead of tripwires.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from fdtpu.data.pipeline import Batch, BatchLoader
+from fdtpu.train.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from fdtpu.train.metrics import f1_score
+from fdtpu.train.state import create_train_state
+from fdtpu.train.step import make_eval_step, make_train_step
+from fdtpu.utils.config import TrainConfig
+from fdtpu.utils.draw import draw_bbx
+from fdtpu.utils.logging import MetricLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        module,
+        config: TrainConfig,
+        train_loader: BatchLoader,
+        val_loader: BatchLoader | None = None,
+        augment: bool = True,
+        neg_pos_ratio: int = 10,
+        nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
+        run_name: str = "run",
+    ):
+        self.module = module
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.run_name = run_name
+        self.logger = MetricLogger(config.log_path)
+        if config.nan_check:
+            jax.config.update("jax_debug_nans", True)
+
+        rng = jax.random.PRNGKey(config.seed)
+        self.state, self.tx = create_train_state(
+            module, config, rng, steps_per_epoch=max(len(train_loader), 1)
+        )
+        self.train_step = make_train_step(
+            module, self.tx, config, augment=augment,
+            compute_metrics=False, nms_params=nms_params,
+            neg_pos_ratio=neg_pos_ratio,
+        )
+        self.eval_step = make_eval_step(
+            module, config, nms_params=nms_params, return_boxes=True
+        )
+        self.rng = jax.random.PRNGKey(config.seed + 1)
+        self.epoch = 0
+
+    # -- checkpointing -------------------------------------------------------
+
+    def save(self):
+        return save_checkpoint(
+            Path(self.config.checkpoint_dir) / self.run_name, self.state
+        )
+
+    def maybe_resume(self) -> bool:
+        path = latest_checkpoint(Path(self.config.checkpoint_dir) / self.run_name)
+        if path is None:
+            return False
+        self.state = restore_checkpoint(path, self.state)
+        self.epoch = int(self.state.step) // max(len(self.train_loader), 1)
+        return True
+
+    # -- epochs --------------------------------------------------------------
+
+    def train_epoch(self) -> dict:
+        losses = []
+        for bi, batch in enumerate(self.train_loader):
+            if bi == 0 and self.config.visualize_first_batch:
+                # ModelMeta.py:144-157: render the first train batch's preds
+                _, (pred_boxes, pred_mask) = self.eval_step(
+                    self.state, batch.images, batch.boxes,
+                    batch.box_mask, batch.sample_mask,
+                )
+                draw_bbx(
+                    batch.images[0],
+                    np.asarray(pred_boxes[0]),
+                    mask=np.asarray(pred_mask[0]),
+                    save_name=f"train_epoch_{self.epoch}",
+                )
+            self.state, scalars = self.train_step(
+                self.state,
+                batch.images,
+                batch.boxes,
+                batch.box_mask,
+                batch.sample_mask,
+                self.rng,
+            )
+            losses.append(scalars["loss"])
+        # one device sync per epoch, not per step
+        metrics = {"loss": float(np.mean(jax.device_get(losses)))}
+        self.logger.log_epoch(self.epoch, "training", metrics)
+        return metrics
+
+    def eval_epoch(self, loader: BatchLoader | None = None, split="validation") -> dict:
+        loader = loader or self.val_loader
+        if loader is None:
+            return {}
+        agg: dict[str, list] = {}
+        first = True
+        for batch in loader:
+            scalars, (pred_boxes, pred_mask) = self.eval_step(
+                self.state,
+                batch.images,
+                batch.boxes,
+                batch.box_mask,
+                batch.sample_mask,
+            )
+            for k, v in scalars.items():
+                agg.setdefault(k, []).append(v)
+            if first and self.config.visualize_first_batch:
+                # ModelMeta.py:144-157: render the first sample's predictions
+                draw_bbx(
+                    batch.images[0],
+                    np.asarray(pred_boxes[0]),
+                    mask=np.asarray(pred_mask[0]),
+                    save_name=f"{split}_epoch_{self.epoch}",
+                )
+                first = False
+        metrics = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
+        if "precision" in metrics and "recall" in metrics:
+            metrics["f1"] = f1_score(metrics["precision"], metrics["recall"])
+        self.logger.log_epoch(self.epoch, split, metrics)
+        return metrics
+
+    def fit(self, epochs: int | None = None) -> dict:
+        epochs = self.config.max_epochs if epochs is None else epochs
+        last: dict = {}
+        while self.epoch < epochs:
+            train_metrics = self.train_epoch()
+            val_metrics = self.eval_epoch()
+            self.epoch += 1
+            self.save()
+            last = {"train": train_metrics, "val": val_metrics}
+        return last
+
+    def test(self, loader: BatchLoader) -> dict:
+        """``trainer.test`` equivalent (``run_validation_epoch.py:68-69``)."""
+        return self.eval_epoch(loader, split="test")

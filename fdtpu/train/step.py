@@ -1,0 +1,206 @@
+"""Jitted train/eval steps: one fused XLA program per step.
+
+Replaces the reference's Lightning ``step()`` (``/root/reference/models/
+ModelMeta.py:115-227``), which per training step runs **three** forward passes
+(metrics pass + two closure evaluations) plus Python loops over the batch for
+loss and metrics and per-sample native NMS. Here one program does:
+
+    device augmentation -> target encoding (scatter) -> forward -> loss ->
+    SAM two-point grads -> Adam update [-> optional masked metrics]
+
+Deliberate fixes (recorded per SURVEY.md §7):
+
+* gradients use the batch-mean loss (the reference's effective gradients come
+  from the un-normalized sum, ``ModelMeta.py:173-176,215`` — with Adam the
+  scale mostly cancels; the *reported* loss stays the reference's sum);
+* the SSD localisation target gets priors applied so it lives in the same
+  coordinate space as the model output (the reference regresses prior-applied
+  predictions against cell-relative targets, ``ModelMetaSSD.py:175`` vs
+  ``SSD.py:248`` — an inconsistency that decodes to wrong positions);
+* train-time metrics compare against the **raw** ground-truth boxes instead
+  of re-decoding the encoded grid (``ModelMeta.py:184-188`` decodes its own
+  encoding, losing boxes that share a cell).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fdtpu.core.grid import encode_grid_targets
+from fdtpu.core.nms import decode_filter_nms, ssd_output_filter_nms
+from fdtpu.core.priors import (
+    apply_priors,
+    calculate_priors,
+    encode_ssd_targets,
+    prior_scales,
+)
+from fdtpu.data.augment import augment_sample
+from fdtpu.losses.ssd import ssd_loss
+from fdtpu.losses.yolo import yolo_loss
+from fdtpu.models.detector import is_ssd
+from fdtpu.train.metrics import detection_metrics
+from fdtpu.train.sam import sam_gradients
+from fdtpu.train.state import TrainState
+from fdtpu.utils.config import TrainConfig
+
+
+def _prepare_inputs(images, boxes, box_mask, rng, augment: bool):
+    """uint8 batch -> float [0,1] batch (+ augmented boxes)."""
+    if augment:
+        keys = jax.random.split(rng, images.shape[0])
+        return jax.vmap(augment_sample)(keys, images, boxes, box_mask)
+    imgs = images.astype(jnp.float32) / 255.0
+    return imgs, boxes, box_mask & (boxes[..., 3] * boxes[..., 4] >= 10.0)
+
+
+def _encode_targets(module, boxes, box_mask, image_size):
+    """Padded pixel boxes -> model-space targets, on device."""
+    if is_ssd(module):
+        ps = tuple(module.patch_sizes)
+        enc = jax.vmap(lambda b, m: encode_ssd_targets(b, m, ps, image_size))(
+            boxes, box_mask
+        )
+        priors = calculate_priors(ps, dtype=enc.dtype)
+        scales = prior_scales(ps, dtype=enc.dtype)
+        gt_locs = apply_priors(enc, priors, scales)[..., 1:5]  # coordinate fix
+        return enc, gt_locs
+    # The encode grid must match the model's *actual* output grid, which the
+    # conv geometry determines (it can differ from the num_patches config —
+    # e.g. PoolResnet's default stem/head at 160px yields 15, not 10).
+    s = module.grid_size()
+    enc = jax.vmap(lambda b, m: encode_grid_targets(b, m, s, image_size))(
+        boxes, box_mask
+    )
+    return enc, None
+
+
+def _decode_predictions(module, out, image_size, prob, iou, capacity):
+    if is_ssd(module):
+        fn = lambda o: ssd_output_filter_nms(o, image_size, prob, iou, capacity)
+    else:
+        fn = lambda o: decode_filter_nms(
+            o, module.grid_size(), image_size, prob, iou, capacity
+        )
+    return jax.vmap(fn)(out)
+
+
+def _loss_and_out(module, params, batch_stats, images, enc, gt_locs,
+                  rng, train: bool, neg_pos_ratio: int):
+    """-> (mean loss, (sum loss, model out, new batch_stats))."""
+    variables = {"params": params}
+    mutable = []
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"]
+    rngs = {"dropout": rng} if train else None
+    if mutable:
+        out, updates = module.apply(
+            variables, images, train=train, rngs=rngs, mutable=mutable
+        )
+        new_stats = updates.get("batch_stats", batch_stats)
+    else:
+        out = module.apply(variables, images, train=train, rngs=rngs)
+        new_stats = batch_stats
+    if is_ssd(module):
+        loss_sum = ssd_loss(
+            out[..., 0], out[..., 1:5], enc[..., 0], gt_locs, neg_pos_ratio
+        )
+        # ssd_loss is already /num_pos-normalized (SSDLoss.py:85-86); use as-is
+        mean = loss_sum
+    else:
+        loss_sum = yolo_loss(out, enc)  # batch sum (ModelMeta.py:173-176)
+        mean = loss_sum / images.shape[0]
+    return mean, (loss_sum, out, new_stats)
+
+
+def make_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    config: TrainConfig,
+    augment: bool = True,
+    compute_metrics: bool = False,
+    nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
+    neg_pos_ratio: int = 10,
+) -> Callable:
+    """Build the jitted training step.
+
+    Returned signature: ``step(state, images_u8, boxes, box_mask,
+    sample_mask, rng) -> (state, scalars dict)``.
+    """
+    image_size = (module.input_shape[1], module.input_shape[0])
+    prob, iou_thr, capacity = nms_params
+
+    def step_fn(state: TrainState, images, boxes, box_mask, sample_mask, rng):
+        aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        imgs, bx, bm = _prepare_inputs(images, boxes, box_mask, aug_rng, augment)
+        enc, gt_locs = _encode_targets(module, bx, bm, image_size)
+
+        loss_fn = lambda p: _loss_and_out(
+            module, p, state.batch_stats, imgs, enc, gt_locs,
+            drop_rng, True, neg_pos_ratio,
+        )
+        if config.use_sam:
+            loss, aux, grads = sam_gradients(loss_fn, state.params, config.sam_rho)
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+        loss_sum, out, new_stats = aux
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        scalars = {"loss": loss_sum, "grad_norm": optax.global_norm(grads)}
+        if compute_metrics:
+            pred_boxes, pred_mask = _decode_predictions(
+                module, out, image_size, prob, iou_thr, capacity
+            )
+            scalars.update(
+                detection_metrics(pred_boxes, pred_mask, bx, bm, sample_mask)
+            )
+        return new_state, scalars
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(
+    module,
+    config: TrainConfig | None = None,
+    nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
+    return_boxes: bool = False,
+) -> Callable:
+    """Build the jitted eval step (``validation_step``/``test_step``
+    equivalent, ``ModelMeta.py:233-239``): loss + reference metrics, and
+    optionally the decoded boxes (for visualization / AP accumulation).
+    """
+    image_size = (module.input_shape[1], module.input_shape[0])
+    prob, iou_thr, capacity = nms_params
+    npr = getattr(config, "neg_pos_ratio", 10) if config else 10
+
+    def step_fn(state: TrainState, images, boxes, box_mask, sample_mask):
+        imgs, bx, bm = _prepare_inputs(images, boxes, box_mask, None, False)
+        enc, gt_locs = _encode_targets(module, bx, bm, image_size)
+        _, (loss_sum, out, _) = _loss_and_out(
+            module, state.params, state.batch_stats, imgs, enc, gt_locs,
+            None, False, npr,
+        )
+        pred_boxes, pred_mask = _decode_predictions(
+            module, out, image_size, prob, iou_thr, capacity
+        )
+        scalars = {"loss": loss_sum}
+        scalars.update(detection_metrics(pred_boxes, pred_mask, bx, bm, sample_mask))
+        if return_boxes:
+            return scalars, (pred_boxes, pred_mask)
+        return scalars
+
+    return jax.jit(step_fn)

@@ -1,0 +1,209 @@
+"""Training subsystem tests: jitted step runs and learns on synthetic data,
+SAM path, BatchNorm (mutable state) path, SSD path, metrics semantics, and
+checkpoint save/restore round-trip."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fdtpu.data import (
+    BatchLoader,
+    WIDERFaceDataSource,
+    load_targets,
+    make_synthetic_widerface,
+)
+from fdtpu.models import MobileNetV3Backbone, PoolResnet, SSD, ssd_patch_sizes
+from fdtpu.train import Trainer, create_train_state, detection_metrics
+from fdtpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from fdtpu.train.step import make_eval_step, make_train_step
+from fdtpu.utils.config import TrainConfig
+
+SIZE = 160
+
+
+@pytest.fixture(scope="module")
+def loaders(tmp_path_factory):
+    root = make_synthetic_widerface(
+        tmp_path_factory.mktemp("wider"), num_images=8, max_faces=2
+    )
+    targets = load_targets(root, "train", max_faces=3)
+    src = WIDERFaceDataSource(targets, (SIZE, SIZE), box_capacity=4, error_log=None)
+    return BatchLoader(src, batch_size=4, drop_last=True), BatchLoader(
+        src, batch_size=4, drop_last=False
+    )
+
+
+def _small_poolresnet():
+    return PoolResnet(
+        filters=16, input_shape=(SIZE, SIZE), num_patches=10,
+        num_residual_blocks=2,
+    )
+
+
+def _config(**kw):
+    return TrainConfig(
+        learning_rate=1e-3, max_epochs=2, batch_size=4, box_capacity=4,
+        visualize_first_batch=False, **kw,
+    )
+
+
+def test_train_step_runs_and_learns(loaders):
+    train_loader, _ = loaders
+    module = _small_poolresnet()
+    config = _config(use_sam=False)
+    state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 2)
+    step = make_train_step(module, tx, config, augment=False)
+    batch = next(iter(train_loader))
+    losses = []
+    for i in range(8):
+        state, scalars = step(
+            state, batch.images, batch.boxes, batch.box_mask,
+            batch.sample_mask, jax.random.PRNGKey(7),
+        )
+        losses.append(float(scalars["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # memorizes one batch quickly
+    assert int(state.step) == 8
+
+
+def test_sam_step_differs_from_plain(loaders):
+    train_loader, _ = loaders
+    module = _small_poolresnet()
+    batch = next(iter(train_loader))
+    results = {}
+    for use_sam in (False, True):
+        config = _config(use_sam=use_sam)
+        state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 2)
+        step = make_train_step(module, tx, config, augment=False)
+        state, _ = step(
+            state, batch.images, batch.boxes, batch.box_mask,
+            batch.sample_mask, jax.random.PRNGKey(7),
+        )
+        results[use_sam] = jax.device_get(state.params)
+    leaves_a = jax.tree_util.tree_leaves(results[False])
+    leaves_b = jax.tree_util.tree_leaves(results[True])
+    assert any(
+        not np.allclose(a, b, atol=1e-7) for a, b in zip(leaves_a, leaves_b)
+    )
+
+
+def test_train_step_with_augmentation(loaders):
+    train_loader, _ = loaders
+    module = _small_poolresnet()
+    config = _config(use_sam=False)
+    state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 2)
+    step = make_train_step(module, tx, config, augment=True)
+    batch = next(iter(train_loader))
+    state, scalars = step(
+        state, batch.images, batch.boxes, batch.box_mask,
+        batch.sample_mask, jax.random.PRNGKey(3),
+    )
+    assert np.isfinite(float(scalars["loss"]))
+
+
+def test_ssd_train_step(loaders):
+    train_loader, _ = loaders
+    module = SSD(filters=4, input_shape=(SIZE, SIZE),
+                 patch_sizes=ssd_patch_sizes((SIZE, SIZE)))
+    config = _config(use_sam=False)
+    state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 2)
+    step = make_train_step(module, tx, config, augment=False, neg_pos_ratio=10)
+    batch = next(iter(train_loader))
+    losses = []
+    for _ in range(4):
+        state, scalars = step(
+            state, batch.images, batch.boxes, batch.box_mask,
+            batch.sample_mask, jax.random.PRNGKey(5),
+        )
+        losses.append(float(scalars["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_batchnorm_stats_update(loaders):
+    train_loader, _ = loaders
+    module = MobileNetV3Backbone(input_shape=(SIZE, SIZE), num_patches=5)
+    config = _config(use_sam=False)
+    state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 2)
+    step = make_train_step(module, tx, config, augment=False)
+    batch = next(iter(train_loader))
+    before = jax.device_get(state.batch_stats)
+    state, _ = step(
+        state, batch.images, batch.boxes, batch.box_mask,
+        batch.sample_mask, jax.random.PRNGKey(5),
+    )
+    after = jax.device_get(state.batch_stats)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), before, after
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_eval_step_metrics(loaders):
+    _, val_loader = loaders
+    module = _small_poolresnet()
+    config = _config(use_sam=False)
+    state, _ = create_train_state(module, config, jax.random.PRNGKey(0), 2)
+    eval_step = make_eval_step(module, config, return_boxes=True)
+    batch = next(iter(val_loader))
+    scalars, (boxes, mask) = eval_step(
+        state, batch.images, batch.boxes, batch.box_mask, batch.sample_mask
+    )
+    for k in ("loss", "iou", "recall", "precision"):
+        assert np.isfinite(float(scalars[k]))
+    assert boxes.shape[0] == 4
+
+
+def test_detection_metrics_reference_semantics():
+    # one gt, one perfect pred -> recall = precision = 1, iou = 1
+    gt = jnp.asarray([[[1.0, 10, 10, 50, 50], [0, 0, 0, 0, 0]]])
+    gt_mask = jnp.asarray([[True, False]])
+    pred = jnp.asarray([[[0.9, 10, 10, 50, 50], [0, 0, 0, 0, 0]]])
+    pred_mask = jnp.asarray([[True, False]])
+    m = detection_metrics(pred, pred_mask, gt, gt_mask)
+    assert float(m["recall"]) == 1.0 and float(m["precision"]) == 1.0
+    np.testing.assert_allclose(float(m["iou"]), 1.0)
+    # no predictions -> contributes zero (ModelMeta.py:199 guard)
+    m = detection_metrics(pred, pred_mask & False, gt, gt_mask)
+    assert float(m["recall"]) == 0.0 and float(m["precision"]) == 0.0
+
+
+def test_trainer_fit_and_resume(loaders, tmp_path):
+    train_loader, val_loader = loaders
+    module = _small_poolresnet()
+    config = dataclasses.replace(
+        _config(use_sam=False),
+        max_epochs=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_path=str(tmp_path / "logs/out.log"),
+    )
+    trainer = Trainer(
+        module, config, train_loader, val_loader, augment=False, run_name="t"
+    )
+    out = trainer.fit()
+    assert "loss" in out["train"] and np.isfinite(out["train"]["loss"])
+    assert "recall" in out["val"]
+    # resume restores step counter
+    step_before = int(trainer.state.step)
+    trainer2 = Trainer(
+        module, config, train_loader, val_loader, augment=False, run_name="t"
+    )
+    assert trainer2.maybe_resume()
+    assert int(trainer2.state.step) == step_before
+    # log files written
+    assert (tmp_path / "logs/out.log").exists()
+    assert (tmp_path / "logs/out.jsonl").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    module = _small_poolresnet()
+    config = _config()
+    state, _ = create_train_state(module, config, jax.random.PRNGKey(0), 2)
+    path = save_checkpoint(tmp_path / "ck", state)
+    restored = restore_checkpoint(path, state)
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(restored.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
