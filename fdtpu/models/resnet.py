@@ -25,6 +25,8 @@ class Resnet(nn.Module):
     num_patches: int
     num_residual_blocks: int = 10
     output_kernel_size: int = 3
+    dropout: float = 0.25  # block Dropout2d rate (reference hardcodes 0.25)
+    head_dropout: float = 0.5  # pre-head Dropout2d (e.g. Resnet.py:63)
     dtype: Dtype = jnp.bfloat16
 
     def grid_size(self) -> int:
@@ -44,9 +46,10 @@ class Resnet(nn.Module):
         x = nn.Conv(self.filters, (3, 3), strides=2, padding=1, dtype=self.dtype)(x)
         for _ in range(self.num_residual_blocks):
             x = ResidualBlock(
-                self.filters, pool_until=self.num_patches, dtype=self.dtype
+                self.filters, pool_until=self.num_patches,
+                dropout=self.dropout, dtype=self.dtype,
             )(x, deterministic=not train)
-        x = Dropout2d(0.5)(x, deterministic=not train)
+        x = Dropout2d(self.head_dropout)(x, deterministic=not train)
         x = nn.Conv(
             5,
             (self.output_kernel_size, self.output_kernel_size),

@@ -26,6 +26,8 @@ class SeparableCNN(nn.Module):
     input_stride: int = 8
     output_kernel_size: int = 6
     output_padding: int = 0
+    dropout: float = 0.25  # block Dropout2d rate (reference hardcodes 0.25)
+    head_dropout: float = 0.5  # pre-head Dropout2d (e.g. PoolResnet.py:69)
     dtype: Dtype = jnp.bfloat16
 
     def grid_size(self) -> int:
@@ -51,9 +53,10 @@ class SeparableCNN(nn.Module):
         )(x)
         for _ in range(self.num_residual_blocks):
             x = SeparableResidualBlock(
-                self.filters, pool_until=self.num_patches, dtype=self.dtype
+                self.filters, pool_until=self.num_patches,
+                dropout=self.dropout, dtype=self.dtype,
             )(x, deterministic=not train)
-        x = Dropout2d(0.5)(x, deterministic=not train)
+        x = Dropout2d(self.head_dropout)(x, deterministic=not train)
         x = nn.Conv(
             5,
             (self.output_kernel_size, self.output_kernel_size),

@@ -41,6 +41,7 @@ class SSD(nn.Module):
     filters: int
     input_shape: tuple[int, int]  # (height, width)
     patch_sizes: tuple[int, ...] = (60, 30, 15, 7)
+    dropout: float = 0.25  # block Dropout2d rate (SSD.py:16 default)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -54,18 +55,19 @@ class SSD(nn.Module):
         # input_normalizer (SSD.py:127-134)
         x = nn.Conv(f, (3, 3), strides=2, padding=1, dtype=self.dtype)(x)
         # feature_extractor (SSD.py:135-163): pool, pool, 6x plain, widen
-        x = SSDResidualBlock(f, 2 * f, use_max_pool=True, dtype=self.dtype)(x, det)
-        x = SSDResidualBlock(2 * f, 2 * f, use_max_pool=True, dtype=self.dtype)(x, det)
+        x = SSDResidualBlock(f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype)(x, det)
+        x = SSDResidualBlock(2 * f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype)(x, det)
         for _ in range(6):
-            x = SSDResidualBlock(2 * f, 2 * f, dtype=self.dtype)(x, det)
-        x = SSDResidualBlock(2 * f, 4 * f, dtype=self.dtype)(x, det)
+            x = SSDResidualBlock(2 * f, 2 * f, dropout=self.dropout, dtype=self.dtype)(x, det)
+        x = SSDResidualBlock(2 * f, 4 * f, dropout=self.dropout, dtype=self.dtype)(x, det)
 
         scores, bbxs = [], []
         for i, ps in enumerate(self.patch_sizes):
             in_f = min(4 * f * 2**i, max_filters)  # SSD.py:166-175
             out_f = min(2 * in_f, max_filters)
             x = SSDResidualBlock(
-                in_f, out_f, use_max_pool=(i != 0), dtype=self.dtype
+                in_f, out_f, use_max_pool=(i != 0),
+                dropout=self.dropout, dtype=self.dtype,
             )(x, det)
             assert x.shape[1] == ps, (
                 f"scale {i}: spatial {x.shape[1]} != patch size {ps}; "

@@ -1,0 +1,150 @@
+"""Data-parallel training steps over a device mesh.
+
+Two equivalent implementations (both produce one gradient all-reduce over the
+``data`` axis, compiled onto ICI links):
+
+* :func:`make_dp_train_step` — GSPMD style: the single-device step from
+  ``fdtpu/train/step.py`` jitted with replicated state and batch-sharded
+  inputs; XLA's partitioner inserts the ``all-reduce`` where the batch
+  dimension is contracted. This is the production path — it composes with
+  the optional ``spatial`` axis (conv halo exchanges) for free.
+* :func:`make_shardmap_dp_train_step` — explicit SPMD: ``shard_map`` over the
+  mesh with a hand-placed ``jax.lax.pmean`` on the gradients, the literal
+  "jit/pmap step doing gradient allreduce over ICI" from the north star.
+  Kept as the reference implementation for testing collective placement
+  (per-shard metrics are also pmean'd).
+
+The reference has no counterpart for any of this (single GPU, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fdtpu.parallel.mesh import batch_sharding, replicate
+from fdtpu.train.sam import sam_gradients
+from fdtpu.train.state import TrainState
+from fdtpu.train.step import _encode_targets, _loss_and_out, _prepare_inputs
+from fdtpu.utils.config import TrainConfig
+
+
+def make_dp_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    config: TrainConfig,
+    mesh: Mesh,
+    augment: bool = True,
+    neg_pos_ratio: int = 10,
+    spatial: bool = False,
+):
+    """GSPMD data-parallel step. Returned signature matches the single-device
+    step: ``step(state, images, boxes, box_mask, sample_mask, rng)``.
+
+    Inputs must be device-put with ``shard_batch_arrays`` (or any layout —
+    XLA will resharding-copy, at a cost). ``spatial=True`` additionally
+    shards the image height over the 'spatial' mesh axis.
+    """
+    image_size = (module.input_shape[1], module.input_shape[0])
+
+    def step_fn(state: TrainState, images, boxes, box_mask, sample_mask, rng):
+        aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        imgs, bx, bm = _prepare_inputs(images, boxes, box_mask, aug_rng, augment)
+        enc, gt_locs = _encode_targets(module, bx, bm, image_size)
+        loss_fn = lambda p: _loss_and_out(
+            module, p, state.batch_stats, imgs, enc, gt_locs,
+            drop_rng, True, neg_pos_ratio,
+        )
+        if config.use_sam:
+            loss, aux, grads = sam_gradients(loss_fn, state.params, config.sam_rho)
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+        loss_sum, _, new_stats = aux
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            batch_stats=new_stats, opt_state=opt_state,
+        )
+        return new_state, {"loss": loss_sum, "grad_norm": optax.global_norm(grads)}
+
+    rep = replicate(mesh)
+    img_sharding = batch_sharding(mesh, 4, spatial_dim=1 if spatial else None)
+    in_shardings = (
+        rep,  # state
+        img_sharding,  # images
+        batch_sharding(mesh, 3),  # boxes
+        batch_sharding(mesh, 2),  # box_mask
+        batch_sharding(mesh, 1),  # sample_mask
+        rep,  # rng
+    )
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_shardmap_dp_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    config: TrainConfig,
+    mesh: Mesh,
+    augment: bool = True,
+    neg_pos_ratio: int = 10,
+):
+    """Explicit shard_map data-parallel step with a hand-placed gradient
+    ``pmean`` over the 'data' axis."""
+    image_size = (module.input_shape[1], module.input_shape[0])
+    assert mesh.axis_names == ("data",), "shard_map DP expects a 1-D data mesh"
+
+    def shard_fn(state: TrainState, images, boxes, box_mask, sample_mask, rng):
+        # distinct augment/dropout streams per shard
+        shard_id = jax.lax.axis_index("data")
+        rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), shard_id)
+        aug_rng, drop_rng = jax.random.split(rng)
+        imgs, bx, bm = _prepare_inputs(images, boxes, box_mask, aug_rng, augment)
+        enc, gt_locs = _encode_targets(module, bx, bm, image_size)
+        loss_fn = lambda p: _loss_and_out(
+            module, p, state.batch_stats, imgs, enc, gt_locs,
+            drop_rng, True, neg_pos_ratio,
+        )
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        loss_sum, _, new_stats = aux
+        # THE collective: gradient all-reduce across chips over ICI.
+        grads = jax.lax.pmean(grads, axis_name="data")
+        if config.use_sam:
+            # second SAM point, again pmean'd so every chip steps identically
+            grad_norm = optax.global_norm(grads)
+            scale = config.sam_rho / (grad_norm + 1e-12)
+            perturbed = jax.tree_util.tree_map(
+                lambda p, g: p + g * scale, state.params, grads
+            )
+            (_, _), sam_grads = jax.value_and_grad(loss_fn, has_aux=True)(perturbed)
+            grads = jax.lax.pmean(sam_grads, axis_name="data")
+        loss_sum = jax.lax.psum(loss_sum, axis_name="data")
+        new_stats = jax.lax.pmean(new_stats, axis_name="data") if new_stats else new_stats
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            batch_stats=new_stats, opt_state=opt_state,
+        )
+        return new_state, {"loss": loss_sum, "grad_norm": optax.global_norm(grads)}
+
+    rep_spec = P()
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(rep_spec, P("data"), P("data"), P("data"), P("data"), rep_spec),
+        out_specs=(rep_spec, rep_spec),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))

@@ -1,0 +1,111 @@
+"""Data-parallel step tests on the 8-virtual-device CPU mesh (conftest sets
+--xla_force_host_platform_device_count=8): GSPMD step numerically matches the
+single-device step, shard_map step reduces gradients correctly, spatial
+sharding compiles (conv halo exchange)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fdtpu.models import PoolResnet
+from fdtpu.parallel import (
+    make_dp_train_step,
+    make_mesh,
+    make_shardmap_dp_train_step,
+    shard_batch_arrays,
+)
+from fdtpu.train import create_train_state
+from fdtpu.train.step import make_train_step
+from fdtpu.utils.config import TrainConfig
+
+SIZE = 160
+
+
+def _setup(use_sam=False, sgd=False, dtype=jnp.bfloat16, dropout=0.25):
+    module = PoolResnet(
+        filters=8, input_shape=(SIZE, SIZE), num_patches=10,
+        num_residual_blocks=2, dtype=dtype,
+        dropout=dropout, head_dropout=dropout * 2,
+    )
+    config = TrainConfig(learning_rate=1e-3, use_sam=use_sam)
+    state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 10)
+    if sgd:
+        # Adam's first step is sign(grad) * lr, which amplifies fp
+        # reduction-order noise on near-zero grads into full sign flips;
+        # SGD keeps the single-vs-multi-device delta proportional.
+        import optax
+
+        tx = optax.sgd(1e-3)
+        state = state.replace(opt_state=tx.init(state.params))
+    return module, config, state, tx
+
+
+def _batch(rng, b=8):
+    images = rng.integers(0, 255, size=(b, SIZE, SIZE, 3), dtype=np.uint8)
+    boxes = np.zeros((b, 4, 5), dtype=np.float32)
+    boxes[:, 0] = [1.0, 20, 30, 60, 50]
+    mask = np.zeros((b, 4), dtype=bool)
+    mask[:, 0] = True
+    sample_mask = np.ones((b,), dtype=bool)
+    return images, boxes, mask, sample_mask
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+@pytest.mark.parametrize("use_sam", [False, True])
+def test_gspmd_dp_matches_single_device(rng, use_sam):
+    # fp32 model: in bf16 the per-shard partial sums of near-cancelling
+    # spatial reductions legitimately diverge from the single-device order.
+    module, config, state, tx = _setup(use_sam, sgd=True, dtype=jnp.float32)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(5)
+
+    single = make_train_step(module, tx, config, augment=False)
+    s1, out1 = single(state, *batch, key)
+
+    module, config, state, tx = _setup(use_sam, sgd=True, dtype=jnp.float32)
+    mesh = make_mesh(8)
+    dp = make_dp_train_step(module, tx, config, mesh, augment=False)
+    sharded = shard_batch_arrays(mesh, *batch)
+    s2, out2 = dp(state, *sharded, key)
+
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s2.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-6)
+
+
+def test_shardmap_dp_runs_and_reduces(rng):
+    # dropout 0: the shard_map step folds the shard id into the dropout rng,
+    # so train-mode losses aren't comparable across layouts otherwise
+    module, config, state, tx = _setup(False, dtype=jnp.float32, dropout=0.0)
+    mesh = make_mesh(8)
+    step = make_shardmap_dp_train_step(module, tx, config, mesh, augment=False)
+    batch = _batch(rng)
+    sharded = shard_batch_arrays(mesh, *batch)
+    s2, out = step(state, *sharded, jax.random.PRNGKey(5))
+    assert np.isfinite(float(out["loss"]))
+    assert int(s2.step) == 1
+    # psum of identical per-shard sums == single-device batch loss
+    module2, config2, state2, tx2 = _setup(False, dtype=jnp.float32, dropout=0.0)
+    s1, out1 = make_train_step(module2, tx2, config2, augment=False)(
+        state2, *batch, jax.random.PRNGKey(5)
+    )
+    np.testing.assert_allclose(float(out["loss"]), float(out1["loss"]), rtol=1e-4)
+
+
+def test_spatial_sharding_compiles(rng):
+    """2x4 (data x spatial) mesh: conv over height-sharded images — XLA
+    inserts halo exchanges; validates the sharding design beyond pure DP."""
+    module, config, state, tx = _setup(False)
+    mesh = make_mesh(8, spatial=4)
+    dp = make_dp_train_step(module, tx, config, mesh, augment=False, spatial=True)
+    batch = _batch(rng, b=4)
+    sharded = shard_batch_arrays(mesh, *batch, spatial_image_dim=1)
+    s2, out = dp(state, *sharded, jax.random.PRNGKey(5))
+    assert np.isfinite(float(out["loss"]))
