@@ -1,0 +1,8 @@
+"""Interop with the PyTorch reference: TorchScript checkpoint weight import
+and structured pruning over Flax param pytrees."""
+
+from fdtpu.compat.torch_import import (  # noqa: F401
+    load_torchscript_weights,
+    read_torchscript_state_dict,
+)
+from fdtpu.compat.pruning import prune_l1_structured  # noqa: F401

@@ -1,0 +1,93 @@
+"""Validation-only runner — the ``run_validation_epoch.py`` entry point
+(``/root/reference/run_validation_epoch.py:13-69``, same role): build a
+model, load a checkpoint, run one evaluation epoch over the val split, print
+loss/IoU/recall/precision/F1 (and AP@0.5 for the BASELINE.md parity gate).
+"""
+
+import argparse
+
+import numpy as np
+
+from fdtpu.data import BatchLoader, WIDERFaceDataSource, load_targets
+from fdtpu.models import build_model
+from fdtpu.train import Trainer
+from fdtpu.train.metrics import average_precision
+from fdtpu.train.step import make_eval_step
+from fdtpu.utils.config import DetectorConfig, TrainConfig
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--model", default="mobilenetv3",
+                   choices=["poolresnet", "resnet", "separable", "mobilenetv3"])
+    p.add_argument("--checkpoint", default=None, help="Orbax checkpoint path")
+    p.add_argument("--input", type=int, default=480)
+    p.add_argument("--patches", type=int, default=15)
+    p.add_argument("--filters", type=int, default=128)
+    p.add_argument("--blocks", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=8)
+    # reference thresholds: run_validation_epoch.py:20-21
+    p.add_argument("--prob-threshold", type=float, default=0.5)
+    p.add_argument("--iou-threshold", type=float, default=0.01)
+    p.add_argument("--max-images", type=int, default=0)
+    p.add_argument("--with-ap", action="store_true", help="also compute AP@0.5")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = DetectorConfig(
+        filters=args.filters,
+        input_shape=(args.input, args.input),
+        num_patches=args.patches,
+        num_residual_blocks=args.blocks,
+        probability_threshold=args.prob_threshold,
+        iou_threshold=args.iou_threshold,
+    )
+    targets = load_targets(args.data_dir, "val", max_faces=3)
+    if args.max_images:
+        targets = targets[: args.max_images]
+    src = WIDERFaceDataSource(targets, cfg.input_shape, 8)
+    loader = BatchLoader(src, args.batch_size)
+
+    module = build_model(args.model, cfg)
+    train_cfg = TrainConfig(visualize_first_batch=False)
+    trainer = Trainer(
+        module, train_cfg, loader, loader,
+        nms_params=(args.prob_threshold, args.iou_threshold, 64),
+        run_name="validation",
+    )
+    if args.checkpoint:
+        from fdtpu.train.checkpoint import restore_checkpoint
+
+        trainer.state = restore_checkpoint(args.checkpoint, trainer.state)
+    metrics = trainer.test(loader)
+    print({k: round(v, 5) for k, v in metrics.items()})
+
+    if args.with_ap:
+        eval_step = make_eval_step(
+            module, train_cfg,
+            nms_params=(args.prob_threshold, args.iou_threshold, 64),
+            return_boxes=True,
+        )
+        all_pred, all_pmask, all_gt, all_gmask = [], [], [], []
+        for batch in loader:
+            _, (pb, pm) = eval_step(
+                trainer.state, batch.images, batch.boxes,
+                batch.box_mask, batch.sample_mask,
+            )
+            keep = batch.sample_mask
+            all_pred.append(np.asarray(pb)[keep])
+            all_pmask.append(np.asarray(pm)[keep])
+            all_gt.append(batch.boxes[keep])
+            all_gmask.append(batch.box_mask[keep])
+        ap = average_precision(
+            np.concatenate(all_pred), np.concatenate(all_pmask),
+            np.concatenate(all_gt), np.concatenate(all_gmask),
+        )
+        print({"AP@0.5": round(ap, 5)})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Checkpoint-import parity: load the reference's official TorchScript
+checkpoints (``/root/reference/saved_models/official/*``) into fdtpu models
+and compare raw forward maps against the original torch graphs on the same
+input. This is the BASELINE.json "checkpoint compatibility" gate."""
+
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+OFFICIAL = Path("/root/reference/saved_models/official")
+
+pytestmark = pytest.mark.skipif(
+    not OFFICIAL.exists(), reason="reference checkpoints not mounted"
+)
+
+
+def _torch_forward(path, x_nchw):
+    from fdtpu.compat.torch_import import _register_stub_ops
+
+    _register_stub_ops()
+    mod = torch.jit.load(str(path), map_location="cpu")
+    mod.eval()
+    with torch.no_grad():
+        return mod(torch.tensor(x_nchw)).numpy()
+
+
+@pytest.mark.parametrize(
+    "name,filters",
+    [("medium_model_10x10_480.pth", 64), ("small_model_10x10_480.pth", 32)],
+)
+def test_poolresnet_official_parity(name, filters, rng):
+    from fdtpu.compat import load_torchscript_weights
+    from fdtpu.models import PoolResnet
+
+    path = OFFICIAL / "PoolResnet" / name
+    module = PoolResnet(
+        filters=filters, input_shape=(480, 480), num_patches=10,
+        num_residual_blocks=10, dtype=jnp.float32,
+    )
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3)), train=False
+    )
+    variables = load_torchscript_weights(str(path), module, variables)
+
+    x = rng.uniform(0, 1, size=(1, 3, 480, 480)).astype(np.float32)
+    want = _torch_forward(path, x)  # (1, 5, 10, 10)
+    got = module.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    # fdtpu layout (B, H, W, 5) -> torch (B, 5, H, W)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_resnet_official_parity(rng):
+    from fdtpu.compat import load_torchscript_weights
+    from fdtpu.models import Resnet
+
+    path = OFFICIAL / "Resnet" / "medium_model_15x15_480.pth"
+    module = Resnet(
+        filters=64, input_shape=(480, 480), num_patches=15,
+        num_residual_blocks=10, dtype=jnp.float32,
+    )
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3)), train=False
+    )
+    variables = load_torchscript_weights(str(path), module, variables)
+
+    x = rng.uniform(0, 1, size=(1, 3, 480, 480)).astype(np.float32)
+    want = _torch_forward(path, x)
+    got = np.asarray(
+        module.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_mobilenetv3_official_parity(rng):
+    from fdtpu.compat import load_torchscript_weights
+    from fdtpu.models import MobileNetV3Backbone
+
+    path = OFFICIAL / "MobilenetV3Backbone" / "medium_model_15x15_480.pth"
+    module = MobileNetV3Backbone(
+        input_shape=(480, 480), num_patches=15, dtype=jnp.float32
+    )
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3)), train=False
+    )
+    variables = load_torchscript_weights(str(path), module, variables)
+
+    x = rng.uniform(0, 1, size=(1, 3, 480, 480)).astype(np.float32)
+    want = _torch_forward(path, x)
+    got = np.asarray(
+        module.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_reference_layout_decode_roundtrip(rng):
+    """An imported model wrapped in ReferenceLayoutGrid + fdtpu decode must
+    reproduce the reference's box semantics: fdtpu-decode(transpose(fm)) is
+    the reference decode (utils.py:118-126 treats dim1 as x)."""
+    from fdtpu.compat.torch_import import ReferenceLayoutGrid
+    from fdtpu.core import decode_filter_nms
+    from fdtpu.models import PoolResnet
+
+    module = PoolResnet(
+        filters=8, input_shape=(480, 480), num_patches=10,
+        num_residual_blocks=1, dtype=jnp.float32,
+    )
+    wrapped = ReferenceLayoutGrid(module)
+    variables = wrapped.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3)), train=False
+    )
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, 480, 480, 3)), jnp.float32)
+    raw = module.apply({"params": variables["params"]["inner"]}, x, train=False)
+    out = wrapped.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(raw).swapaxes(1, 2))
+    assert wrapped.grid_size() == module.grid_size()
+
+
+def test_prune_l1_structured(rng):
+    """Pruning shrinks channels 20% (torch_pruning amount parity,
+    pruner.py:42) and the pruned model still runs."""
+    from fdtpu.compat import prune_l1_structured
+    from fdtpu.models import PoolResnet
+
+    module = PoolResnet(
+        filters=20, input_shape=(160, 160), num_patches=10,
+        num_residual_blocks=2, dtype=jnp.float32,
+    )
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3)), train=False
+    )
+    pruned_module, pruned_vars = prune_l1_structured(module, variables, 0.2)
+    assert pruned_module.filters == 16
+    kern = pruned_vars["params"]["Conv_0"]["kernel"]
+    assert kern.shape[-1] == 16
+    out = pruned_module.apply(
+        pruned_vars, jnp.zeros((1, 160, 160, 3)), train=False
+    )
+    assert out.shape[-1] == 5
+    n_old = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    n_new = sum(x.size for x in jax.tree_util.tree_leaves(pruned_vars["params"]))
+    assert n_new < 0.75 * n_old

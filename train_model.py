@@ -1,0 +1,102 @@
+"""YOLO-grid detector training — the ``train_model.py`` entry point
+(``/root/reference/train_model.py:12-62``, same role, same defaults).
+
+The reference configures by editing constants; here the same knobs are CLI
+flags with the reference's values as defaults: PoolResnet-128 @480px, 10x10
+grid, 10 blocks, batch 8, lr 1e-4, 70 epochs, SAM, MultiStepLR@40 x0.1,
+mixed precision (bf16 — the TPU-native counterpart of precision=16).
+"""
+
+import argparse
+import dataclasses
+from pathlib import Path
+
+import jax
+
+from fdtpu.data import (
+    BatchLoader,
+    WIDERFaceDataSource,
+    download_dataset_files,
+    load_targets,
+)
+from fdtpu.models import build_model
+from fdtpu.train import Trainer
+from fdtpu.utils.config import DetectorConfig, TrainConfig
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", default="data", help="WIDERFace root")
+    p.add_argument("--model", default="poolresnet",
+                   choices=["poolresnet", "resnet", "separable", "mobilenetv3"])
+    p.add_argument("--input", type=int, default=480, help="square input size")
+    p.add_argument("--patches", type=int, default=10, help="grid size config")
+    p.add_argument("--filters", type=int, default=128)
+    p.add_argument("--blocks", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=70)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--no-sam", action="store_true",
+                   help="plain Adam (the reference's effective behavior)")
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--box-capacity", type=int, default=8)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-train-images", type=int, default=0,
+                   help="subset for quick runs (0 = all)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    run_name = (
+        f"{args.model}_{args.filters}_{args.patches}x{args.patches}_"
+        f"{args.input}x{args.input}"
+    )  # run-identity string like train_model.py:21-25
+    model_cfg = DetectorConfig(
+        filters=args.filters,
+        input_shape=(args.input, args.input),
+        num_patches=args.patches,
+        num_residual_blocks=args.blocks,
+    )
+    train_cfg = TrainConfig(
+        learning_rate=args.lr,
+        max_epochs=args.epochs,
+        batch_size=args.batch_size,
+        box_capacity=args.box_capacity,
+        use_sam=not args.no_sam,
+        seed=args.seed,
+        log_path=f"logs/out_{run_name}.log",
+        checkpoint_dir="checkpoints",
+    )
+
+    download_dataset_files(args.data_dir)
+    train_targets = load_targets(args.data_dir, "train", max_faces=3)
+    val_targets = load_targets(args.data_dir, "val", max_faces=3)
+    if args.max_train_images:
+        train_targets = train_targets[: args.max_train_images]
+        val_targets = val_targets[: max(args.max_train_images // 4, 1)]
+
+    shape = model_cfg.input_shape
+    train_src = WIDERFaceDataSource(train_targets, shape, args.box_capacity)
+    val_src = WIDERFaceDataSource(val_targets, shape, args.box_capacity)
+    train_loader = BatchLoader(
+        train_src, args.batch_size, shuffle=True, seed=args.seed, drop_last=True
+    )
+    val_loader = BatchLoader(val_src, args.batch_size)
+
+    module = build_model(args.model, model_cfg)
+    trainer = Trainer(
+        module, train_cfg, train_loader, val_loader,
+        augment=not args.no_augment, run_name=run_name,
+    )
+    if args.resume:
+        trainer.maybe_resume()
+    out = trainer.fit()
+    print(f"final: {out}")
+    ckpt = trainer.save()
+    print(f"saved: {ckpt}")
+
+
+if __name__ == "__main__":
+    main()
