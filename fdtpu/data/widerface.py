@@ -41,17 +41,23 @@ DATASET_LINKS = {
 }
 
 
-def download_dataset_files(data_dir: str | Path) -> None:
+def download_dataset_files(
+    data_dir: str | Path,
+    required: tuple[str, ...] = ("train", "val", "target"),
+) -> None:
     """Ensure the WIDERFace archives are present and extracted.
 
     The reference uses ``gdown.cached_download`` (``datamodule.py:60-67``);
     without egress we extract any local zips and otherwise raise with the
-    URLs so a user can fetch them out of band.
+    URLs so a user can fetch them out of band. Only ``required`` splits are
+    mandatory (training needs train/val/annotations; the unlabeled test
+    split is optional).
     """
     data_dir = Path(data_dir)
     data_dir.mkdir(parents=True, exist_ok=True)
     missing = []
-    for split, link in DATASET_LINKS.items():
+    for split in required:
+        link = DATASET_LINKS[split]
         folder = data_dir / Path(link["output"]).stem
         zip_path = data_dir / link["output"]
         if folder.exists():

@@ -1,0 +1,8 @@
+"""Deployment export (the TorchScript / lite-interpreter / ONNX equivalent)."""
+
+from fdtpu.export.export import (  # noqa: F401
+    aot_compile_predict,
+    export_predict,
+    load_exported,
+    make_predict_fn,
+)

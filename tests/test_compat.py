@@ -145,3 +145,31 @@ def test_prune_l1_structured(rng):
     n_old = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     n_new = sum(x.size for x in jax.tree_util.tree_leaves(pruned_vars["params"]))
     assert n_new < 0.75 * n_old
+
+
+def test_export_roundtrip(tmp_path, rng):
+    """StableHLO export -> deserialize -> call reproduces the in-process
+    predict outputs (the TorchScript/ONNX deployment-parity equivalent)."""
+    from fdtpu.export import export_predict, load_exported, make_predict_fn
+    from fdtpu.models import PoolResnet
+
+    module = PoolResnet(
+        filters=8, input_shape=(160, 160), num_patches=10,
+        num_residual_blocks=2, dtype=jnp.float32,
+    )
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3)), train=False
+    )
+    path = export_predict(
+        module, variables, tmp_path / "m.stablehlo", batch_size=2,
+        probability_threshold=0.4, iou_threshold=0.5,
+    )
+    assert path.stat().st_size > 1000
+    predict = load_exported(path)
+    x = jnp.asarray(rng.uniform(0, 255, size=(2, 160, 160, 3)), jnp.float32)
+    boxes, mask = predict(x)
+    want_boxes, want_mask = make_predict_fn(module, variables, 0.4, 0.5)(x)
+    np.testing.assert_allclose(
+        np.asarray(boxes), np.asarray(want_boxes), atol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(want_mask))

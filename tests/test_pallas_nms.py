@@ -1,0 +1,105 @@
+"""Pallas fused decode+filter+NMS vs the pure-XLA core path (itself validated
+against a torchvision-semantics oracle in test_nms.py). Runs in interpreter
+mode on the CPU backend; the same kernel compiles on TPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fdtpu.core import decode_filter_nms, encode_grid_targets, pad_boxes
+from fdtpu.core.grid import decode_grid
+from fdtpu.core.nms import nms, ssd_decode_filter_nms
+from fdtpu.core.priors import encode_ssd_targets
+from fdtpu.kernels import (
+    grid_decode_tables,
+    pallas_decode_filter_nms,
+    ssd_decode_tables,
+)
+
+S = 15
+IMG = (480, 480)
+
+
+def _random_fm(rng, hot=6):
+    fm = rng.uniform(0, 0.45, size=(S, S, 5)).astype(np.float32)
+    for _ in range(hot):
+        j, i = rng.integers(0, S, size=2)
+        fm[j, i] = [rng.uniform(0.5, 1.0), *rng.uniform(0.05, 0.95, size=4)]
+    return fm
+
+
+def test_grid_kernel_matches_core(rng):
+    tables = grid_decode_tables(S, IMG)
+    for trial in range(5):
+        fm = _random_fm(rng)
+        want_boxes, want_mask = decode_filter_nms(
+            jnp.asarray(fm), S, IMG, 0.5, 0.4, capacity=32
+        )
+        got_boxes, got_mask = pallas_decode_filter_nms(
+            jnp.asarray(fm).reshape(S * S, 5), tables, 0.5, 0.4, capacity=32
+        )
+        want = np.asarray(want_boxes)[np.asarray(want_mask)]
+        got = np.asarray(got_boxes)[np.asarray(got_mask)]
+        assert got.shape == want.shape
+        # kernel emits in score order, like the core path
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-5)
+
+
+def test_grid_kernel_empty(rng):
+    fm = np.zeros((S, S, 5), dtype=np.float32)
+    boxes, mask = pallas_decode_filter_nms(
+        jnp.asarray(fm).reshape(S * S, 5), grid_decode_tables(S, IMG), 0.5, 0.5
+    )
+    assert not bool(np.asarray(mask).any())
+
+
+def test_grid_kernel_tie_break():
+    fm = np.zeros((S, S, 5), dtype=np.float32)
+    fm[0, 0] = [0.9, 0.1, 0.1, 0.05, 0.05]
+    fm[0, 1] = [0.9, 0.1, 0.1, 0.05, 0.05]  # same score, non-overlapping
+    boxes, mask = pallas_decode_filter_nms(
+        jnp.asarray(fm).reshape(S * S, 5), grid_decode_tables(S, IMG), 0.5, 0.5,
+        capacity=8,
+    )
+    got = np.asarray(boxes)[np.asarray(mask)]
+    assert got.shape[0] == 2
+    # lowest flat index first: cell (0,0) is x=..., the x of col 0 < col 1
+    assert got[0, 1] < got[1, 1]
+
+
+def test_ssd_kernel_matches_core(rng):
+    ps = (10, 5)
+    img = (320, 320)
+    n = sum(p * p for p in ps)
+    # random encoded rows with a few confident ones
+    enc = rng.uniform(0, 0.4, size=(n, 5)).astype(np.float32)
+    hot = rng.choice(n, size=8, replace=False)
+    enc[hot, 0] = rng.uniform(0.6, 1.0, size=8)
+    want_boxes, want_mask = ssd_decode_filter_nms(
+        jnp.asarray(enc), ps, img, 0.5, 0.4, capacity=16
+    )
+    got_boxes, got_mask = pallas_decode_filter_nms(
+        jnp.asarray(enc), ssd_decode_tables(ps, img), 0.5, 0.4, capacity=16
+    )
+    want = np.asarray(want_boxes)[np.asarray(want_mask)]
+    got = np.asarray(got_boxes)[np.asarray(got_mask)]
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-5)
+
+
+def test_kernel_roundtrip_via_encode(rng):
+    """encode -> pallas fused decode+NMS recovers the boxes (the reference's
+    dataset_ssd.py:142-150 assert, on the kernel path)."""
+    boxes = np.array(
+        [[1.0, 96, 120, 90, 60], [1.0, 300, 330, 120, 100]], dtype=np.float32
+    )
+    padded, mask = pad_boxes(boxes, 4)
+    fm = encode_grid_targets(jnp.asarray(padded), jnp.asarray(mask), S, IMG)
+    out, keep = pallas_decode_filter_nms(
+        fm.reshape(S * S, 5), grid_decode_tables(S, IMG), 0.5, 0.5, capacity=8
+    )
+    got = np.asarray(out)[np.asarray(keep)]
+    assert got.shape[0] == 2
+    np.testing.assert_allclose(
+        np.sort(got[:, 1:], axis=0), np.sort(boxes[:, 1:], axis=0), atol=1.0
+    )
