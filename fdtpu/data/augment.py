@@ -62,22 +62,47 @@ def _reflect101(t: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def _sample_affine(img: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear-resample ``(H, W, C)`` image through the inverse affine map
-    (output coords -> input coords), reflect-101 border."""
+    """Bilinear-resample ``(H, W, C)`` through the inverse affine (output ->
+    input coords), reflect-101 border, **gather-free**.
+
+    TPU gathers are catastrophic — a ``map_coordinates`` warp of a 64x320px
+    batch measured 1249 ms vs 11 ms for the whole SAM train step. Instead the
+    affine is factored into two 1-D resampling passes (Catmull-Smith): each
+    pass builds triangle (bilinear) weights from the source coordinates and
+    contracts them against the image with an einsum — pure MXU work, ~7 ms
+    per 64-batch per pass. Valid while ``|inv[0,0]| > 0`` (crop scales > 0,
+    flip = -1, rotation <= 20 degrees keeps it well away from 0).
+
+    Weights are computed in f32 (coordinate differences need the mantissa)
+    then cast to bf16 for the contraction (weight quantization ~0.4%, below
+    one intensity level).
+    """
     h, w = img.shape[0], img.shape[1]
-    yo, xo = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32),
-        jnp.arange(w, dtype=jnp.float32),
-        indexing="ij",
+    m00, m01, m02 = inv[0, 0], inv[0, 1], inv[0, 2]
+    m10, m11, m12 = inv[1, 0], inv[1, 1], inv[1, 2]
+
+    # pass A (along y): t[yo, x] = in[a1*x + b1*yo + c1, x]
+    a1 = m10 / m00
+    b1 = m11 - m10 * m01 / m00
+    c1 = m12 - m10 * m02 / m00
+    xs = jnp.arange(w, dtype=jnp.float32)
+    yo = jnp.arange(h, dtype=jnp.float32)
+    src_y = _reflect101(a1 * xs[None, :] + b1 * yo[:, None] + c1, h)  # (Ho, W)
+    yi = jnp.arange(h, dtype=jnp.float32)
+    w_a = jnp.maximum(0.0, 1.0 - jnp.abs(src_y[:, :, None] - yi))  # (Ho, W, Hi)
+    t = jnp.einsum(
+        "oxi,ixc->oxc",
+        w_a.astype(jnp.bfloat16),
+        img.astype(jnp.bfloat16),
     )
-    xi = inv[0, 0] * xo + inv[0, 1] * yo + inv[0, 2]
-    yi = inv[1, 0] * xo + inv[1, 1] * yo + inv[1, 2]
-    xi = _reflect101(xi, w)
-    yi = _reflect101(yi, h)
-    resample = lambda ch: jax.scipy.ndimage.map_coordinates(
-        ch, [yi, xi], order=1, mode="nearest"
-    )
-    return jnp.stack([resample(img[..., c]) for c in range(img.shape[-1])], axis=-1)
+
+    # pass B (along x): out[yo, xo] = t[yo, m00*xo + m01*yo + m02]
+    xo = jnp.arange(w, dtype=jnp.float32)
+    src_x = _reflect101(m00 * xo[None, :] + m01 * yo[:, None] + m02, w)  # (Ho, Wo)
+    xi = jnp.arange(w, dtype=jnp.float32)
+    w_b = jnp.maximum(0.0, 1.0 - jnp.abs(src_x[:, :, None] - xi))  # (Ho, Wo, Wi)
+    out = jnp.einsum("owi,oic->owc", w_b.astype(jnp.bfloat16), t)
+    return out.astype(jnp.float32)
 
 
 def _transform_boxes(boxes: jnp.ndarray, mask: jnp.ndarray, fwd: jnp.ndarray,

@@ -62,9 +62,13 @@ def yolo_loss(
     xy_loss = COORD_WEIGHT * occupied * (
         (gt_x - pred_x) ** 2 + (gt_y - pred_y) ** 2
     )
+    # sqrt with a floor: sigmoid in bf16 can round to exactly 0, where
+    # d(sqrt)/dx = inf and the occupied*inf product becomes NaN under autodiff
+    # (the blow-up the reference papers over with its NaN scrubs,
+    # YoloLoss.py:8-9). The floor changes the loss by < 1e-6.
+    _sqrt = lambda v: jnp.sqrt(jnp.maximum(v, 1e-12))
     wh_loss = COORD_WEIGHT * occupied * (
-        (jnp.sqrt(gt_w) - jnp.sqrt(pred_w)) ** 2
-        + (jnp.sqrt(gt_h) - jnp.sqrt(pred_h)) ** 2
+        (_sqrt(gt_w) - _sqrt(pred_w)) ** 2 + (_sqrt(gt_h) - _sqrt(pred_h)) ** 2
     )
     conf_loss = (occupied + empty * no_object_weight) * (gt_conf - pred_conf) ** 2
     return jnp.sum(xy_loss + wh_loss + conf_loss)

@@ -126,11 +126,14 @@ def make_train_step(
     compute_metrics: bool = False,
     nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
     neg_pos_ratio: int = 10,
+    jit: bool = True,
 ) -> Callable:
     """Build the jitted training step.
 
     Returned signature: ``step(state, images_u8, boxes, box_mask,
-    sample_mask, rng) -> (state, scalars dict)``.
+    sample_mask, rng) -> (state, scalars dict)``. ``jit=False`` returns the
+    raw traceable function (for embedding in ``lax.scan`` step-batching or a
+    custom pjit wrapper).
     """
     image_size = (module.input_shape[1], module.input_shape[0])
     prob, iou_thr, capacity = nms_params
@@ -170,7 +173,7 @@ def make_train_step(
             )
         return new_state, scalars
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
 
 
 def make_eval_step(

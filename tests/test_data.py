@@ -112,3 +112,47 @@ def test_degenerate_box_fallback(tmp_path):
     img1, boxes1, mask1 = src.get(1)
     img0, boxes0, mask0 = src.get(0)
     np.testing.assert_array_equal(boxes1, boxes0)
+
+
+def test_warp_affine_exact_on_linear_ramp(rng):
+    """Triangle-weight resampling reproduces linear functions exactly, so a
+    coordinate ramp warped by the two-pass einsum path must equal the ramp
+    evaluated at the affine's source coordinates (interior pixels). This
+    pins the geometry; the filter itself is the classic two-pass
+    (Catmull-Smith) warp, which differs from joint bilinear only in
+    high-frequency content."""
+    from fdtpu.data.augment import _sample_affine
+
+    h = w = 64
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    img = np.stack([xx, yy, xx + 2 * yy], axis=-1)
+    theta = 0.3
+    c, s = np.cos(theta), np.sin(theta)
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    inv = np.array(
+        [
+            [c, -s, cx - c * cx + s * cy],
+            [s, c, cy - s * cx - c * cy],
+            [0, 0, 1],
+        ],
+        dtype=np.float32,
+    )
+    got = np.asarray(_sample_affine(jnp.asarray(img), jnp.asarray(inv)))
+    xi = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
+    yi = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+    want = np.stack([xi, yi, xi + 2 * yi], axis=-1)
+    # interior only (borders reflect); both the image and the weights pass
+    # through bf16 in the contraction, so tolerance = ~2 ulp at value ~190
+    interior = (xi > 1) & (xi < w - 2) & (yi > 1) & (yi < h - 2)
+    err = np.abs(got - want)[(interior)]
+    assert err.max() < 2.5
+    assert err.mean() < 0.3
+
+
+def test_warp_affine_identity(rng):
+    from fdtpu.data.augment import _sample_affine
+
+    img = rng.uniform(0, 255, size=(32, 32, 3)).astype(np.float32)
+    out = np.asarray(_sample_affine(jnp.asarray(img), jnp.eye(3)))
+    assert np.abs(out - img).max() < 2.0  # bf16 pixel rounding only
