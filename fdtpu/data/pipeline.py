@@ -51,17 +51,41 @@ class WIDERFaceDataSource:
         input_shape: tuple[int, int],
         box_capacity: int = 8,
         error_log: str | None = "incorrect_indices.log",
+        use_native: bool | None = None,
     ):
         self.targets = targets
         self.input_shape = input_shape  # (height, width)
         self.box_capacity = box_capacity
         self.error_log = error_log
+        if use_native is None:
+            from fdtpu.native import native_available
+
+            use_native = native_available()
+        self.use_native = use_native
+
+    def _decode(self, img_path):
+        """-> (img uint8 (H, W, 3), (src_w, src_h)). Native libjpeg-turbo
+        DCT-scaled decode when available (fdtpu/native), PIL fallback."""
+        h, w = self.input_shape
+        if self.use_native and str(img_path).lower().endswith((".jpg", ".jpeg")):
+            from fdtpu.native import decode_resize
+
+            return decode_resize(Path(img_path).read_bytes(), h, w)
+        from PIL import Image
+
+        img = Image.open(img_path).convert("RGB")
+        size = img.size
+        return np.asarray(img.resize((w, h), Image.BILINEAR), np.uint8), size
 
     def __len__(self) -> int:
         return len(self.targets)
 
-    def get(self, index: int):
+    def get(self, index: int, _depth: int = 0):
         """-> (image uint8 (H, W, 3), boxes (K, 5), mask (K,))."""
+        if _depth > 3:
+            # The reference's neighbor-substitution recurses unboundedly when
+            # sample 0 itself is bad (dataset.py:150); cap the retries.
+            raise RuntimeError(f"sample {index} and its neighbors failed to load")
         try:
             target = self.targets[index]
             bbx = target["bbx"]
@@ -69,25 +93,23 @@ class WIDERFaceDataSource:
             if bbx.shape[0] and (bbx[:, 1:] == 0).all(axis=1).any():
                 target = self.targets[index - 1]
                 bbx = target["bbx"]
-            from PIL import Image
-
-            img = Image.open(target["img_path"]).convert("RGB")
-            w0, h0 = img.size
+            arr, (w0, h0) = self._decode(target["img_path"])
             h, w = self.input_shape
-            img = img.resize((w, h), Image.BILINEAR)
             boxes = bbx.copy()
             if boxes.shape[0]:
                 boxes[:, [1, 3]] *= w / w0
                 boxes[:, [2, 4]] *= h / h0
                 boxes[:, 1:] = np.round(boxes[:, 1:])  # dataset.py:88
             padded, mask = pad_boxes(boxes, self.box_capacity)
-            return np.asarray(img, dtype=np.uint8), padded, mask
+            return arr, padded, mask
         except Exception:
             # dataset.py:148-150: log and substitute the neighbor sample
             if self.error_log:
                 with open(self.error_log, "a") as f:
                     f.write(f"{index}, {self.targets[index].get('img_path')}\n")
-            return self.get(index - 1 if index != 0 else 0)
+            return self.get(
+                index - 1 if index != 0 else index + 1, _depth=_depth + 1
+            )
 
 
 class BatchLoader:
