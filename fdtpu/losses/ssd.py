@@ -91,3 +91,29 @@ def ssd_loss(
 
     num_pos = jnp.sum(pos_mask)
     return (localisation_loss + classification_loss) / jnp.maximum(num_pos, 1)
+
+
+def ssd_loss2(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """YOLO-style alternative SSD loss over ``(..., N, 5)`` prior rows —
+    capability parity with the reference's unused ``ssd_loss2``
+    (``SSDLoss.py:89-134``, reachable only from commented code): identical
+    term structure to the grid loss with ``no_object_weight = 1/N``,
+    predictions clamped to [0, 1] (``SSDLoss.py:102``), and the same x/y
+    channel swap as the grid loss (``SSDLoss.py:110-111``) — preserved here
+    verbatim since this function exists purely as reference parity.
+    """
+    n = pred.shape[-2]
+    pred = jnp.clip(pred, 0.0, 1.0)
+    gt_conf, pred_conf = gt[..., 0], pred[..., 0]
+    occupied = gt_conf
+    empty = 1.0 - gt_conf
+    _sqrt = lambda v: jnp.sqrt(jnp.maximum(v, 1e-12))
+    xy = occupied * (
+        (gt[..., 1] - pred[..., 2]) ** 2 + (gt[..., 2] - pred[..., 1]) ** 2
+    )
+    wh = occupied * (
+        (_sqrt(gt[..., 3]) - _sqrt(pred[..., 3])) ** 2
+        + (_sqrt(gt[..., 4]) - _sqrt(pred[..., 4])) ** 2
+    )
+    conf = (occupied + empty / n) * (gt_conf - pred_conf) ** 2
+    return jnp.sum(3.0 * (xy + wh) + conf)

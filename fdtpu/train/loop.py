@@ -68,6 +68,14 @@ class Trainer:
         )
         self.rng = jax.random.PRNGKey(config.seed + 1)
         self.epoch = 0
+        self.profile_dir: str | None = None  # set to capture jax.profiler traces
+
+    def profile(self, trace_dir: str = "profiles"):
+        """Enable a jax.profiler trace of the next training epoch — the
+        torchinfo/manual-FPS observability (SURVEY.md §5) upgraded to real
+        XLA execution traces viewable in TensorBoard/Perfetto."""
+        self.profile_dir = trace_dir
+        return self
 
     # -- checkpointing -------------------------------------------------------
 
@@ -87,6 +95,14 @@ class Trainer:
     # -- epochs --------------------------------------------------------------
 
     def train_epoch(self) -> dict:
+        if self.profile_dir:
+            with jax.profiler.trace(self.profile_dir):
+                metrics = self._train_epoch_body()
+            self.profile_dir = None
+            return metrics
+        return self._train_epoch_body()
+
+    def _train_epoch_body(self) -> dict:
         losses = []
         for bi, batch in enumerate(self.train_loader):
             if bi == 0 and self.config.visualize_first_batch:

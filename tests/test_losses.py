@@ -132,3 +132,18 @@ def test_ssd_loss_no_positives_is_finite(rng):
         )
     )
     assert np.isfinite(out)
+
+
+def test_ssd_loss2_matches_reference(rng):
+    from losses.SSDLoss import ssd_loss2 as ssd_loss2_ref
+
+    from fdtpu.losses.ssd import ssd_loss2
+
+    pred = rng.uniform(0.01, 0.99, size=(200, 5)).astype(np.float32)
+    gt = np.zeros((200, 5), dtype=np.float32)
+    idx = rng.choice(200, size=6, replace=False)
+    gt[idx, 0] = 0.94
+    gt[idx, 1:] = rng.uniform(0.05, 0.95, size=(6, 4))
+    want = ssd_loss2_ref(torch.tensor(pred), torch.tensor(gt)).item()
+    got = float(ssd_loss2(jnp.asarray(pred), jnp.asarray(gt)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -131,3 +131,12 @@ def test_detector_batch_nms():
     out = det.apply(jnp.zeros((2, 160, 160, 3)))
     boxes, mask = det.non_max_suppression(out)
     assert boxes.shape == (2, 8, 5) and mask.shape == (2, 8)
+
+
+def test_detector_summary():
+    """nn.tabulate layer/param table (torchinfo + ptflops equivalent,
+    BaseModel.py:36-45, BaseSSDModel.py:34-42)."""
+    m = PoolResnet(input_shape=(160, 160), num_patches=10, **SMALL)
+    det = Detector(m)
+    table = det.summary()
+    assert "Conv" in table and "flops" in table.lower()
