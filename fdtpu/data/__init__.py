@@ -9,8 +9,9 @@ from fdtpu.data.widerface import (  # noqa: F401
 )
 from fdtpu.data.pipeline import (  # noqa: F401
     Batch,
-    WIDERFaceDataSource,
     BatchLoader,
+    DevicePrefetcher,
+    WIDERFaceDataSource,
     make_synthetic_widerface,
 )
 from fdtpu.data.augment import augment_batch, resize_only_batch  # noqa: F401

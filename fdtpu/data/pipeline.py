@@ -200,6 +200,44 @@ class BatchLoader:
             yield item
 
 
+class DevicePrefetcher:
+    """Double-buffered host->device feed (SURVEY.md §2.7): while the train
+    step for batch N runs, batch N+1 is already being transferred —
+    ``jax.device_put`` is asynchronous, so issuing it one batch ahead
+    overlaps H2D with compute. Wraps any ``Batch`` iterable."""
+
+    def __init__(self, loader, device=None, lookahead: int = 1):
+        self.loader = loader
+        self.device = device
+        self.lookahead = max(1, lookahead)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def _put(self, batch: Batch) -> Batch:
+        import jax
+
+        dev = self.device or jax.devices()[0]
+        return Batch(
+            images=jax.device_put(batch.images, dev),
+            boxes=jax.device_put(batch.boxes, dev),
+            box_mask=jax.device_put(batch.box_mask, dev),
+            sample_mask=jax.device_put(batch.sample_mask, dev),
+        )
+
+    def __iter__(self):
+        import collections
+
+        pending = collections.deque()
+        it = iter(self.loader)
+        for batch in it:
+            pending.append(self._put(batch))
+            if len(pending) > self.lookahead:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()
+
+
 def make_synthetic_widerface(
     root: str | Path,
     num_images: int = 24,

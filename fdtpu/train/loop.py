@@ -23,7 +23,7 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from fdtpu.data.pipeline import Batch, BatchLoader
+from fdtpu.data.pipeline import Batch, BatchLoader, DevicePrefetcher
 from fdtpu.train.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from fdtpu.train.metrics import f1_score
 from fdtpu.train.state import create_train_state
@@ -104,7 +104,7 @@ class Trainer:
 
     def _train_epoch_body(self) -> dict:
         losses = []
-        for bi, batch in enumerate(self.train_loader):
+        for bi, batch in enumerate(DevicePrefetcher(self.train_loader)):
             if bi == 0 and self.config.visualize_first_batch:
                 # ModelMeta.py:144-157: render the first train batch's preds
                 _, (pred_boxes, pred_mask) = self.eval_step(
