@@ -34,6 +34,10 @@ INFER_SCAN = 30
 
 
 def main():
+    from fdtpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

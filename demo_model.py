@@ -118,6 +118,10 @@ def run_camera(det: Detector):
 
 
 def main():
+    from fdtpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     args = parse_args()
     det = build_detector(args)
     if args.camera:

@@ -13,5 +13,6 @@ from fdtpu.data.pipeline import (  # noqa: F401
     DevicePrefetcher,
     WIDERFaceDataSource,
     make_synthetic_widerface,
+    rotate_image_and_boxes,
 )
 from fdtpu.data.augment import augment_batch, resize_only_batch  # noqa: F401

@@ -52,11 +52,20 @@ class WIDERFaceDataSource:
         box_capacity: int = 8,
         error_log: str | None = "incorrect_indices.log",
         use_native: bool | None = None,
+        rotate_prob: float = 0.0,
+        rotate_limit: float = 20.0,
+        seed: int = 0,
     ):
         self.targets = targets
         self.input_shape = input_shape  # (height, width)
         self.box_capacity = box_capacity
         self.error_log = error_log
+        # Host-side Rotate(p=0.2, limit=20) from the reference train pipeline
+        # (datamodule.py:115) — rotation resampling is hostile to TPU
+        # compilation/gathers, see fdtpu/data/augment.py module docstring.
+        self.rotate_prob = rotate_prob
+        self.rotate_limit = rotate_limit
+        self._rng = np.random.default_rng(seed)
         if use_native is None:
             from fdtpu.native import native_available
 
@@ -100,6 +109,11 @@ class WIDERFaceDataSource:
                 boxes[:, [1, 3]] *= w / w0
                 boxes[:, [2, 4]] *= h / h0
                 boxes[:, 1:] = np.round(boxes[:, 1:])  # dataset.py:88
+            if self.rotate_prob and self._rng.random() < self.rotate_prob:
+                angle = float(
+                    self._rng.uniform(-self.rotate_limit, self.rotate_limit)
+                )
+                arr, boxes = rotate_image_and_boxes(arr, boxes, angle)
             padded, mask = pad_boxes(boxes, self.box_capacity)
             return arr, padded, mask
         except Exception:
@@ -110,6 +124,51 @@ class WIDERFaceDataSource:
             return self.get(
                 index - 1 if index != 0 else index + 1, _depth=_depth + 1
             )
+
+
+def rotate_image_and_boxes(arr: np.ndarray, boxes: np.ndarray, angle_deg: float):
+    """Rotate an (H, W, 3) uint8 image by ``angle_deg`` (counterclockwise,
+    Albumentations ``Rotate`` convention) about its center with reflect-101
+    borders, and transform cxywh boxes via corner rotation -> AABB -> clip
+    (Albumentations bbox rotate semantics).
+
+    Uses PIL's C affine path; the reflect border is emulated by reflect-
+    padding before rotation and cropping back.
+    """
+    from PIL import Image
+
+    h, w = arr.shape[0], arr.shape[1]
+    margin = int(0.25 * max(h, w)) + 2  # covers 20-degree corner excursions
+    padded = np.pad(
+        arr, ((margin, margin), (margin, margin), (0, 0)), mode="reflect"
+    )
+    rot = Image.fromarray(padded).rotate(
+        angle_deg, resample=Image.BILINEAR, expand=False
+    )
+    out = np.asarray(rot, dtype=np.uint8)[margin:-margin, margin:-margin]
+
+    if boxes.shape[0]:
+        # PIL rotates the image content counterclockwise; points transform by
+        # out = R(-a) @ (p - c) + c in (x, y-down) coordinates.
+        a = np.deg2rad(angle_deg)
+        c, s = np.cos(a), np.sin(a)
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        x, y = boxes[:, 1], boxes[:, 2]
+        bw, bh = boxes[:, 3], boxes[:, 4]
+        corners_x = np.stack([x, x + bw, x, x + bw], 1) - cx
+        corners_y = np.stack([y, y, y + bh, y + bh], 1) - cy
+        rx = c * corners_x + s * corners_y + cx
+        ry = -s * corners_x + c * corners_y + cy
+        x0 = np.clip(rx.min(1), 0, w)
+        x1 = np.clip(rx.max(1), 0, w)
+        y0 = np.clip(ry.min(1), 0, h)
+        y1 = np.clip(ry.max(1), 0, h)
+        boxes = np.stack(
+            [boxes[:, 0], x0, y0, x1 - x0, y1 - y0], axis=1
+        ).astype(np.float32)
+        boxes = boxes[(boxes[:, 3] * boxes[:, 4]) >= 10.0]  # min_area
+        boxes[:, 1:] = np.round(boxes[:, 1:])
+    return out, boxes
 
 
 class BatchLoader:

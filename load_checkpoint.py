@@ -16,6 +16,10 @@ from fdtpu.utils.config import DetectorConfig
 
 
 def main():
+    from fdtpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-dir", default="data")
     p.add_argument("--checkpoint", default=None)

@@ -36,6 +36,10 @@ def benchmark_model(module, variables, batch: int, size: int, iters: int = 10):
 
 
 def main():
+    from fdtpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", default=None, help="Orbax checkpoint to prune")
     p.add_argument("--input", type=int, default=480)

@@ -36,6 +36,10 @@ def parse_args():
 
 
 def main():
+    from fdtpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     args = parse_args()
     cfg = DetectorConfig(
         filters=args.filters,

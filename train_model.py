@@ -48,6 +48,10 @@ def parse_args():
 
 
 def main():
+    from fdtpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     args = parse_args()
     run_name = (
         f"{args.model}_{args.filters}_{args.patches}x{args.patches}_"
@@ -78,7 +82,11 @@ def main():
         val_targets = val_targets[: max(args.max_train_images // 4, 1)]
 
     shape = model_cfg.input_shape
-    train_src = WIDERFaceDataSource(train_targets, shape, args.box_capacity)
+    train_src = WIDERFaceDataSource(
+        train_targets, shape, args.box_capacity,
+        rotate_prob=0.0 if args.no_augment else 0.2,  # host-side Rotate(20)
+        seed=args.seed,
+    )
     val_src = WIDERFaceDataSource(val_targets, shape, args.box_capacity)
     train_loader = BatchLoader(
         train_src, args.batch_size, shuffle=True, seed=args.seed, drop_last=True

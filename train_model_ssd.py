@@ -38,6 +38,10 @@ def parse_args():
 
 
 def main():
+    from fdtpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     args = parse_args()
     run_name = f"ssd_{args.filters}_{args.input}x{args.input}"
     cfg = SSDConfig(
