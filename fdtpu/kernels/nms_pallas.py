@@ -161,6 +161,152 @@ def _nms_kernel(
     jax.lax.fori_loop(0, capacity, body, alive0)
 
 
+def _batched_nms_kernel(
+    conf_ref, xr_ref, yr_ref, wr_ref, hr_ref, sx_ref, ox_ref, sy_ref, oy_ref,
+    out_ref,
+    *,
+    prob_thr: float,
+    iou_thr: float,
+    capacity: int,
+    w_scale: float,
+    h_scale: float,
+    round_boxes: bool,
+):
+    """Whole-batch variant: planes are ``(B, N_pad)`` with per-image
+    reductions along axis 1, so the ``capacity``-iteration greedy loop is
+    shared by every image — B-fold amortization of loop and reduction
+    latency versus one kernel per image."""
+    conf = conf_ref[:]
+    x = xr_ref[:] * sx_ref[:] + ox_ref[:]
+    y = yr_ref[:] * sy_ref[:] + oy_ref[:]
+    w = wr_ref[:] * w_scale
+    h = hr_ref[:] * h_scale
+    x0, y0 = x, y
+    x1, y1 = x + w, y + h
+    if round_boxes:
+        x0, y0, x1, y1 = (jnp.round(v) for v in (x0, y0, x1, y1))
+    area = jnp.maximum(x1 - x0, 0.0) * jnp.maximum(y1 - y0, 0.0)
+
+    b, n = conf.shape
+    cand = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    big = jnp.int32(n + 1)
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    alive0 = (conf > prob_thr).astype(jnp.float32)
+
+    def body(k, alive):
+        sc = jnp.where(alive > 0.5, conf, -1.0)
+        best = jnp.max(sc, axis=1, keepdims=True)  # (B, 1)
+        valid = (best > -0.5).astype(jnp.float32)
+        idx = jnp.min(
+            jnp.where(sc == best, cand, big), axis=1, keepdims=True
+        )
+        onehot = (cand == idx).astype(jnp.float32)  # (B, N)
+        pick = lambda v: jnp.sum(v * onehot, axis=1, keepdims=True)
+        bx0, by0, bx1, by1 = pick(x0), pick(y0), pick(x1), pick(y1)
+        barea = jnp.maximum(bx1 - bx0, 0.0) * jnp.maximum(by1 - by0, 0.0)
+
+        row = valid * jnp.concatenate(
+            [valid, best, bx0, by0, bx1 - bx0, by1 - by0,
+             jnp.zeros_like(best), jnp.zeros_like(best)],
+            axis=1,
+        )  # (B, 8)
+        out_ref[:, k, :] = row
+
+        ix0 = jnp.maximum(x0, bx0)
+        iy0 = jnp.maximum(y0, by0)
+        ix1 = jnp.minimum(x1, bx1)
+        iy1 = jnp.minimum(y1, by1)
+        inter = jnp.maximum(ix1 - ix0, 0.0) * jnp.maximum(iy1 - iy0, 0.0)
+        union = area + barea - inter
+        iou = jnp.where(union > 0, inter / union, 0.0)
+        survive = (iou <= iou_thr).astype(jnp.float32) * (1.0 - onehot)
+        return alive * survive * valid
+
+    jax.lax.fori_loop(0, capacity, body, alive0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _pallas_nms_batched(
+    values,  # (B, N, 5)
+    tables,  # (sx, ox, sy, oy) each (N,)
+    w_scale: float,
+    h_scale: float,
+    prob_thr: float,
+    iou_thr: float,
+    capacity: int,
+    round_boxes: bool,
+    interpret: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, n = values.shape[0], values.shape[1]
+    n_pad = -(-n // _LANES) * _LANES
+
+    def plane(v, fill=0.0):
+        return jnp.pad(
+            v.astype(jnp.float32), ((0, 0), (0, n_pad - n)), constant_values=fill
+        )
+
+    conf = plane(values[..., 0], fill=-1.0)
+    planes = [conf] + [plane(values[..., i + 1]) for i in range(4)]
+    planes += [
+        jnp.broadcast_to(
+            jnp.pad(t.astype(jnp.float32), (0, n_pad - n)), (bsz, n_pad)
+        )
+        for t in tables
+    ]
+
+    kernel = functools.partial(
+        _batched_nms_kernel,
+        prob_thr=prob_thr,
+        iou_thr=iou_thr,
+        capacity=capacity,
+        w_scale=w_scale,
+        h_scale=h_scale,
+        round_boxes=round_boxes,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, capacity, 8), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*planes)
+    boxes = out[..., 1:6]
+    mask = out[..., 0] > 0.5
+    return boxes, mask
+
+
+def pallas_decode_filter_nms_batch(
+    values: jnp.ndarray,
+    tables,
+    probability_threshold: float,
+    iou_threshold: float,
+    capacity: int = 128,
+    round_boxes: bool = True,
+    interpret: bool | None = None,
+):
+    """Batched fused decode+filter+NMS: ``values`` is ``(B, N, 5)``; one
+    kernel invocation serves the whole batch. Same contract as vmapping
+    :func:`pallas_decode_filter_nms`, substantially faster."""
+    sx, ox, sy, oy, w_scale, h_scale = tables
+    if interpret is None:
+        interpret = not pallas_nms_available()
+    return _pallas_nms_batched(
+        values,
+        (jnp.asarray(sx), jnp.asarray(ox), jnp.asarray(sy), jnp.asarray(oy)),
+        w_scale,
+        h_scale,
+        probability_threshold,
+        iou_threshold,
+        capacity,
+        round_boxes,
+        interpret,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8)
 )

@@ -103,3 +103,22 @@ def test_kernel_roundtrip_via_encode(rng):
     np.testing.assert_allclose(
         np.sort(got[:, 1:], axis=0), np.sort(boxes[:, 1:], axis=0), atol=1.0
     )
+
+
+def test_batched_kernel_matches_vmapped(rng):
+    """One whole-batch kernel invocation == vmapped per-image kernel ==
+    core XLA path."""
+    from fdtpu.kernels import pallas_decode_filter_nms_batch
+
+    tables = grid_decode_tables(S, IMG)
+    fms = np.stack([_random_fm(rng) for _ in range(4)])
+    vals = jnp.asarray(fms).reshape(4, S * S, 5)
+    got_b, got_m = pallas_decode_filter_nms_batch(vals, tables, 0.5, 0.4, capacity=16)
+    for i in range(4):
+        want_b, want_m = decode_filter_nms(
+            jnp.asarray(fms[i]), S, IMG, 0.5, 0.4, capacity=16
+        )
+        want = np.asarray(want_b)[np.asarray(want_m)]
+        got = np.asarray(got_b[i])[np.asarray(got_m[i])]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-5)
