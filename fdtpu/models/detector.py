@@ -115,6 +115,20 @@ class Detector:
         )
         iou = self.iou_threshold if iou_threshold is None else iou_threshold
         h, w = self.module.input_shape
+        # Resize odd-shaped inputs on the host (PIL, like the reference's
+        # torchvision host resize, BaseModel.py:62) so the jitted program
+        # sees ONE shape — otherwise every distinct input size recompiles.
+        import numpy as _np
+
+        arr = _np.asarray(image)
+        if arr.ndim == 3 and arr.shape[:2] != (h, w):
+            from PIL import Image as _Image
+
+            if arr.dtype != _np.uint8:
+                arr = _np.clip(arr, 0, 255).astype(_np.uint8)
+            image = _np.asarray(
+                _Image.fromarray(arr).resize((w, h), _Image.BILINEAR)
+            )
         return _predict_jit(
             self.module,
             self.variables,
