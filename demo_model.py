@@ -56,9 +56,11 @@ def build_detector(args) -> Detector:
     det.init(jax.random.PRNGKey(0))
     if args.checkpoint:
         if str(args.checkpoint).endswith(".pth"):
-            from fdtpu.compat import load_torchscript_weights
+            from fdtpu.compat import load_reference_detector
 
-            det.variables = load_torchscript_weights(args.checkpoint, module, det.variables)
+            det.module, det.variables = load_reference_detector(
+                args.checkpoint, module, det.variables
+            )
         else:
             import orbax.checkpoint as ocp
 

@@ -48,9 +48,11 @@ def main():
     )
     if args.checkpoint:
         if str(args.checkpoint).endswith(".pth"):
-            from fdtpu.compat import load_torchscript_weights
+            from fdtpu.compat import load_reference_detector
 
-            variables = load_torchscript_weights(args.checkpoint, module, variables)
+            module, variables = load_reference_detector(
+                args.checkpoint, module, variables
+            )
         else:
             import orbax.checkpoint as ocp
 

@@ -2,6 +2,8 @@
 and structured pruning over Flax param pytrees."""
 
 from fdtpu.compat.torch_import import (  # noqa: F401
+    ReferenceLayoutGrid,
+    load_reference_detector,
     load_torchscript_weights,
     read_torchscript_state_dict,
 )

@@ -184,6 +184,27 @@ def load_torchscript_weights(path: str, module, variables_template) -> dict:
     )
 
 
+def load_reference_detector(path: str, module, variables_template):
+    """Import a reference grid checkpoint AND wrap the module so decoded
+    boxes match the reference exactly (its grid convention is spatially
+    transposed, see module docstring). Returns ``(module, variables)`` —
+    for grid models a :class:`ReferenceLayoutGrid`-wrapped pair; MobileNetV3
+    and SSD pass through unwrapped only in their variables structure.
+
+    Verified end-to-end on the official PoolResnet checkpoint: without the
+    wrap, detections land at transposed grid positions; with it they sit on
+    the faces of the reference's own test images.
+    """
+    variables = load_torchscript_weights(path, module, variables_template)
+    from fdtpu.models import SSD
+
+    if isinstance(module, SSD):
+        return module, variables
+    wrapped = ReferenceLayoutGrid(module)
+    wrapped_vars = {k: {"inner": v} for k, v in variables.items()}
+    return wrapped, wrapped_vars
+
+
 class ReferenceLayoutGrid(nn.Module):
     """Wrap an imported grid model so its reference-convention output
     (``fm[:, x_cell, y_cell]``) is transposed into fdtpu's ``[y, x]`` layout;
