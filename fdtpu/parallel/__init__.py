@@ -14,3 +14,7 @@ from fdtpu.parallel.dp import (  # noqa: F401
     make_dp_train_step,
     make_shardmap_dp_train_step,
 )
+from fdtpu.parallel.multihost import (  # noqa: F401
+    global_batch_from_local,
+    initialize_multihost,
+)

@@ -109,3 +109,15 @@ def test_spatial_sharding_compiles(rng):
     sharded = shard_batch_arrays(mesh, *batch, spatial_image_dim=1)
     s2, out = dp(state, *sharded, jax.random.PRNGKey(5))
     assert np.isfinite(float(out["loss"]))
+
+
+def test_multihost_helpers_single_process(rng):
+    """Single-process no-op path + process-local global batch assembly."""
+    from fdtpu.parallel import global_batch_from_local, initialize_multihost
+
+    assert initialize_multihost() is False
+    mesh = make_mesh(8)
+    batch = _batch(rng)
+    arrays = global_batch_from_local(mesh, batch)
+    assert arrays[0].shape == batch[0].shape
+    assert len(arrays[0].sharding.device_set) == 8
