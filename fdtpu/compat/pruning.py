@@ -33,15 +33,24 @@ def _topk_keep(scores: np.ndarray, keep: int) -> np.ndarray:
     return np.sort(idx)
 
 
-def prune_l1_structured(module, variables, amount: float = 0.2):
+def prune_l1_structured(module, variables, amount: float = 0.2,
+                        align: int | None = None):
     """Prune ``amount`` of channels from every conv, L1-scored.
 
     Returns ``(new_module, new_variables)`` where ``new_module`` is the same
     architecture re-traced at the reduced width.
+
+    ``align`` rounds the kept channel count DOWN to a multiple (e.g. 64 or
+    128): measured on TPU v5 lite, pruning 128 -> 102 channels *slowed*
+    inference 19.2k -> 11.7k img/s because non-aligned channel counts waste
+    MXU tiles. Default None preserves torch_pruning's exact-amount parity
+    (``/root/reference/pruner.py:42``).
     """
     params = {k: dict(v) for k, v in variables["params"].items()}
     f = module.filters
     keep = f - int(round(f * amount))  # torch_pruning L1Strategy(amount)
+    if align:
+        keep = max(align, (keep // align) * align)
     assert keep >= 1, (f, amount)
 
     stem = params["Conv_0"]

@@ -109,6 +109,19 @@ class WIDERFaceDataSource:
                 boxes[:, [1, 3]] *= w / w0
                 boxes[:, [2, 4]] *= h / h0
                 boxes[:, 1:] = np.round(boxes[:, 1:])  # dataset.py:88
+            if boxes.shape[0] > self.box_capacity and not getattr(
+                self, "_warned_truncate", False
+            ):
+                self._warned_truncate = True
+                import warnings
+
+                warnings.warn(
+                    f"image has {boxes.shape[0]} boxes but box_capacity="
+                    f"{self.box_capacity}; extra ground truth is dropped. "
+                    "Raise box_capacity (SSD pipelines need ~128, see "
+                    "train_model_ssd.py).",
+                    stacklevel=2,
+                )
             if self.rotate_prob and self._rng.random() < self.rotate_prob:
                 angle = float(
                     self._rng.uniform(-self.rotate_limit, self.rotate_limit)
@@ -245,16 +258,24 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        error: list[BaseException] = []
+
         def producer():
-            for ch in chunks:
-                q.put(self._make_batch(ch))
-            q.put(sentinel)
+            try:
+                for ch in chunks:
+                    q.put(self._make_batch(ch))
+            except BaseException as e:  # noqa: BLE001 — re-raised on consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item
 

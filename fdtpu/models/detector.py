@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from fdtpu.core.nms import decode_filter_nms, ssd_output_filter_nms
-from fdtpu.models.mobilenetv3 import MobileNetV3Backbone
 from fdtpu.models.poolresnet import PoolResnet
 from fdtpu.models.resnet import Resnet
 from fdtpu.models.separable import SeparableCNN
@@ -31,11 +30,6 @@ from fdtpu.models.ssd import SSD
 
 def is_ssd(module) -> bool:
     return isinstance(module, SSD)
-
-
-def has_batch_stats(module) -> bool:
-    """BatchNorm models carry a mutable ``batch_stats`` collection."""
-    return isinstance(module, MobileNetV3Backbone)
 
 
 class Detector:
@@ -121,13 +115,17 @@ class Detector:
         import numpy as _np
 
         arr = _np.asarray(image)
-        if arr.ndim == 3 and arr.shape[:2] != (h, w):
+        needs_rgb = arr.ndim != 3 or arr.shape[-1] != 3
+        if needs_rgb or arr.shape[:2] != (h, w):
+            # normalize to RGB on the host too: RGBA/grayscale inputs would
+            # otherwise be bilinearly blended across the channel axis (RGBA)
+            # or crash with a rank error (2-D grayscale)
             from PIL import Image as _Image
 
             if arr.dtype != _np.uint8:
                 arr = _np.clip(arr, 0, 255).astype(_np.uint8)
             image = _np.asarray(
-                _Image.fromarray(arr).resize((w, h), _Image.BILINEAR)
+                _Image.fromarray(arr).convert("RGB").resize((w, h), _Image.BILINEAR)
             )
         return _predict_jit(
             self.module,
@@ -157,7 +155,7 @@ class Detector:
         )(dummy, train=False)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 6))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _nms_batch(output, ssd: bool, num_patches: int, image_size, prob, iou, capacity: int):
     from fdtpu.kernels import (
         grid_decode_tables,

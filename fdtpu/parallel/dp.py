@@ -27,9 +27,13 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fdtpu.parallel.mesh import batch_sharding, replicate
-from fdtpu.train.sam import sam_gradients
 from fdtpu.train.state import TrainState
-from fdtpu.train.step import _encode_targets, _loss_and_out, _prepare_inputs
+from fdtpu.train.step import (
+    _encode_targets,
+    _loss_and_out,
+    _prepare_inputs,
+    make_train_step,
+)
 from fdtpu.utils.config import TrainConfig
 
 
@@ -49,30 +53,11 @@ def make_dp_train_step(
     XLA will resharding-copy, at a cost). ``spatial=True`` additionally
     shards the image height over the 'spatial' mesh axis.
     """
-    image_size = (module.input_shape[1], module.input_shape[0])
-
-    def step_fn(state: TrainState, images, boxes, box_mask, sample_mask, rng):
-        aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
-        imgs, bx, bm = _prepare_inputs(images, boxes, box_mask, aug_rng, augment)
-        enc, gt_locs = _encode_targets(module, bx, bm, image_size)
-        loss_fn = lambda p: _loss_and_out(
-            module, p, state.batch_stats, imgs, enc, gt_locs,
-            drop_rng, True, neg_pos_ratio,
-        )
-        if config.use_sam:
-            loss, aux, grads = sam_gradients(loss_fn, state.params, config.sam_rho)
-        else:
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-        loss_sum, _, new_stats = aux
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=params,
-            batch_stats=new_stats, opt_state=opt_state,
-        )
-        return new_state, {"loss": loss_sum, "grad_norm": optax.global_norm(grads)}
+    # one source of truth for the step body: the single-device raw step
+    step_fn = make_train_step(
+        module, tx, config, augment=augment,
+        neg_pos_ratio=neg_pos_ratio, jit=False,
+    )
 
     rep = replicate(mesh)
     img_sharding = batch_sharding(mesh, 4, spatial_dim=1 if spatial else None)

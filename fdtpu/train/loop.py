@@ -137,7 +137,7 @@ class Trainer:
             return {}
         agg: dict[str, list] = {}
         first = True
-        for batch in loader:
+        for batch in DevicePrefetcher(loader):
             scalars, (pred_boxes, pred_mask) = self.eval_step(
                 self.state,
                 batch.images,

@@ -90,8 +90,13 @@ def _decode_predictions(module, out, image_size, prob, iou, capacity):
 
 
 def _loss_and_out(module, params, batch_stats, images, enc, gt_locs,
-                  rng, train: bool, neg_pos_ratio: int):
-    """-> (mean loss, (sum loss, model out, new batch_stats))."""
+                  rng, train: bool, neg_pos_ratio: int, sample_mask=None):
+    """-> (mean loss, (sum loss, model out, new batch_stats)).
+
+    ``sample_mask`` excludes padded samples (the final partial batch repeats
+    its last real sample, pipeline.py) from both loss terms — otherwise the
+    repeated sample is gradient-weighted by the pad count.
+    """
     variables = {"params": params}
     mutable = []
     if batch_stats:
@@ -106,15 +111,21 @@ def _loss_and_out(module, params, batch_stats, images, enc, gt_locs,
     else:
         out = module.apply(variables, images, train=train, rngs=rngs)
         new_stats = batch_stats
+    if sample_mask is None:
+        sample_mask = jnp.ones((images.shape[0],), dtype=bool)
     if is_ssd(module):
+        # zero padded samples' labels: no positives and (num_neg = ratio *
+        # num_pos = 0) no mined negatives -> zero contribution
+        enc = enc * sample_mask[:, None, None]
         loss_sum = ssd_loss(
             out[..., 0], out[..., 1:5], enc[..., 0], gt_locs, neg_pos_ratio
         )
         # ssd_loss is already /num_pos-normalized (SSDLoss.py:85-86); use as-is
         mean = loss_sum
     else:
-        loss_sum = yolo_loss(out, enc)  # batch sum (ModelMeta.py:173-176)
-        mean = loss_sum / images.shape[0]
+        per_sample = jax.vmap(yolo_loss)(out, enc)
+        loss_sum = jnp.sum(per_sample * sample_mask)  # ModelMeta.py:173-176
+        mean = loss_sum / jnp.maximum(jnp.sum(sample_mask), 1)
     return mean, (loss_sum, out, new_stats)
 
 
@@ -145,7 +156,7 @@ def make_train_step(
 
         loss_fn = lambda p: _loss_and_out(
             module, p, state.batch_stats, imgs, enc, gt_locs,
-            drop_rng, True, neg_pos_ratio,
+            drop_rng, True, neg_pos_ratio, sample_mask,
         )
         if config.use_sam:
             loss, aux, grads = sam_gradients(loss_fn, state.params, config.sam_rho)
@@ -195,7 +206,7 @@ def make_eval_step(
         enc, gt_locs = _encode_targets(module, bx, bm, image_size)
         _, (loss_sum, out, _) = _loss_and_out(
             module, state.params, state.batch_stats, imgs, enc, gt_locs,
-            None, False, npr,
+            None, False, npr, sample_mask,
         )
         pred_boxes, pred_mask = _decode_predictions(
             module, out, image_size, prob, iou_thr, capacity

@@ -48,6 +48,10 @@ def main():
     p.add_argument("--blocks", type=int, default=10)
     p.add_argument("--amount", type=float, default=0.2,
                    help="fraction of channels to prune (pruner.py:42)")
+    p.add_argument("--align", type=int, default=None,
+                   help="round kept channels down to this multiple (MXU "
+                        "tiling: non-128-aligned widths measured SLOWER "
+                        "than unpruned on TPU)")
     p.add_argument("--batch", type=int, default=10)
     p.add_argument("--save", default=None, help="save pruned checkpoint here")
     args = p.parse_args()
@@ -73,7 +77,9 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"before: {n_params/1e6:.3f}M params, {dt*1000:.1f} ms/batch, {fps:.1f} img/s")
 
-    pruned_module, pruned_vars = prune_l1_structured(module, variables, args.amount)
+    pruned_module, pruned_vars = prune_l1_structured(
+        module, variables, args.amount, align=args.align
+    )
 
     dt, fps = benchmark_model(pruned_module, pruned_vars, args.batch, args.input)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(pruned_vars["params"]))
