@@ -38,6 +38,10 @@ def draw_bbx(
         if len(b) == 5:
             b = b[1:]
         x, y, w, h = float(b[0]), float(b[1]), float(b[2]), float(b[3])
+        # SSD location outputs are unconstrained (no sigmoid on bbx,
+        # SSD.py:246), so early-training boxes can have negative extent —
+        # clamp instead of letting PIL raise
+        w, h = max(w, 0.0), max(h, 0.0)
         width = 1 if (w <= 15 or h <= 15) else 3  # utils.py:195-203
         draw.rectangle((x, y, x + w, y + h), outline="blue", width=width)
     if show:
