@@ -173,3 +173,96 @@ def test_export_roundtrip(tmp_path, rng):
         np.asarray(boxes), np.asarray(want_boxes), atol=1e-3
     )
     np.testing.assert_array_equal(np.asarray(mask), np.asarray(want_mask))
+
+
+def test_single_image_box_parity_official_checkpoint(rng):
+    """BASELINE.json gate: single-image box coords & scores from the official
+    checkpoint must match the PyTorch outputs within fp tolerance.
+
+    The torch graph's own predict branch can't run here (its torchvision nms
+    is stubbed), so the oracle is: torch forward -> the reference's decode
+    math re-derived in numpy (scale_batch_bbx_xywh + threshold + round +
+    greedy NMS, utils.py:111-170) — compared against fdtpu's full fused path
+    on the imported weights via ReferenceLayoutGrid."""
+    from fdtpu.compat import load_reference_detector
+    from fdtpu.core.nms import decode_filter_nms
+    from fdtpu.models import PoolResnet
+
+    path = OFFICIAL / "PoolResnet" / "medium_model_10x10_480.pth"
+    img_path = Path("/root/reference/imgs/test_imgs/3.jpg")
+    if not img_path.exists():
+        pytest.skip("reference test images not mounted")
+    from PIL import Image
+
+    img = np.asarray(
+        Image.open(img_path).convert("RGB").resize((480, 480), Image.BILINEAR),
+        np.float32,
+    )
+    x = img[None] / 255.0
+
+    # torch forward -> (5, 10, 10) reference-layout map
+    fm = _torch_forward(path, x.transpose(0, 3, 1, 2))[0]
+
+    # reference decode oracle (utils.py:118-126, 157-170), numpy
+    prob_thr, iou_thr = 0.7, 0.01
+    s, width, height = 10, 480, 480
+    patch = width / s
+    cand = []
+    for i in range(s):
+        for j in range(s):
+            conf = fm[0, i, j]
+            if conf > prob_thr:
+                bx = fm[1, i, j] * patch + i * patch
+                by = fm[2, i, j] * patch + j * patch
+                bw = fm[3, i, j] * width
+                bh = fm[4, i, j] * height
+                cand.append([conf, bx, by, bw, bh])
+    cand = np.asarray(cand, np.float32)
+    xyxy = np.round(
+        np.stack(
+            [cand[:, 1], cand[:, 2], cand[:, 1] + cand[:, 3],
+             cand[:, 2] + cand[:, 4]], axis=1,
+        )
+    )
+    order = np.argsort(-cand[:, 0], kind="stable")
+    keep, suppressed = [], np.zeros(len(cand), bool)
+    for idx in order:
+        if suppressed[idx]:
+            continue
+        keep.append(idx)
+        a = xyxy[idx]
+        for jdx in order:
+            if jdx == idx or suppressed[jdx]:
+                continue
+            b = xyxy[jdx]
+            iw = max(min(a[2], b[2]) - max(a[0], b[0]), 0)
+            ih = max(min(a[3], b[3]) - max(a[1], b[1]), 0)
+            inter = iw * ih
+            ua = ((a[2] - a[0]) * (a[3] - a[1])
+                  + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+            if ua > 0 and inter / ua > iou_thr:
+                suppressed[jdx] = True
+    want = np.stack(
+        [cand[keep, 0], xyxy[keep, 0], xyxy[keep, 1],
+         xyxy[keep, 2] - xyxy[keep, 0], xyxy[keep, 3] - xyxy[keep, 1]],
+        axis=1,
+    )
+
+    # fdtpu path: import + layout adapter + fused decode/filter/NMS
+    module = PoolResnet(
+        filters=64, input_shape=(480, 480), num_patches=10,
+        num_residual_blocks=10, dtype=jnp.float32,
+    )
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3)), train=False
+    )
+    wrapped, wvars = load_reference_detector(str(path), module, variables)
+    out = wrapped.apply(wvars, jnp.asarray(x), train=False)
+    boxes, mask = decode_filter_nms(
+        out[0], 10, (480, 480), prob_thr, iou_thr, capacity=16
+    )
+    got = np.asarray(boxes)[np.asarray(mask)]
+
+    assert got.shape == want.shape and got.shape[0] >= 1
+    np.testing.assert_allclose(got[:, 0], want[:, 0], rtol=1e-4)  # scores
+    np.testing.assert_allclose(got[:, 1:], want[:, 1:], atol=1.0)  # coords
