@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from fdtpu.core.nms import decode_filter_nms, ssd_output_filter_nms
+from fdtpu.models.mobilenetv3 import MobileNetV3Backbone
 from fdtpu.models.poolresnet import PoolResnet
 from fdtpu.models.resnet import Resnet
 from fdtpu.models.separable import SeparableCNN

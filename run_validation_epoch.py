@@ -63,9 +63,30 @@ def main():
         run_name="validation",
     )
     if args.checkpoint:
-        from fdtpu.train.checkpoint import restore_checkpoint
+        if str(args.checkpoint).endswith(".pth"):
+            # reference TorchScript checkpoint (the reference's own
+            # run_validation_epoch.py:48-51 loads a Lightning ckpt here)
+            from fdtpu.compat import load_reference_detector
 
-        trainer.state = restore_checkpoint(args.checkpoint, trainer.state)
+            module, variables = load_reference_detector(
+                args.checkpoint, module, trainer.state.variables()
+            )
+            trainer.module = module
+            trainer.state = trainer.state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+            )
+            from fdtpu.train.step import make_eval_step as _mes
+
+            trainer.eval_step = _mes(
+                module, train_cfg,
+                nms_params=(args.prob_threshold, args.iou_threshold, 64),
+                return_boxes=True,
+            )
+        else:
+            from fdtpu.train.checkpoint import restore_checkpoint
+
+            trainer.state = restore_checkpoint(args.checkpoint, trainer.state)
     metrics = trainer.test(loader)
     print({k: round(v, 5) for k, v in metrics.items()})
 
