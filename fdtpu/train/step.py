@@ -80,6 +80,25 @@ def _encode_targets(module, boxes, box_mask, image_size):
 
 
 def _decode_predictions(module, out, image_size, prob, iou, capacity):
+    from fdtpu.kernels import (
+        grid_decode_tables,
+        pallas_decode_filter_nms_batch,
+        pallas_nms_available,
+        ssd_output_decode_tables,
+    )
+
+    if pallas_nms_available():
+        # whole-batch fused Pallas kernel (faster than the vmapped XLA path
+        # on TPU; see fdtpu/kernels/nms_pallas.py)
+        if is_ssd(module):
+            tables = ssd_output_decode_tables(out.shape[1], image_size)
+            vals = out
+        else:
+            tables = grid_decode_tables(module.grid_size(), image_size)
+            vals = out.reshape(out.shape[0], -1, 5)
+        return pallas_decode_filter_nms_batch(
+            vals, tables, prob, iou, capacity, interpret=False
+        )
     if is_ssd(module):
         fn = lambda o: ssd_output_filter_nms(o, image_size, prob, iou, capacity)
     else:
