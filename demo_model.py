@@ -62,12 +62,9 @@ def build_detector(args) -> Detector:
                 args.checkpoint, module, det.variables
             )
         else:
-            import orbax.checkpoint as ocp
+            from fdtpu.train.checkpoint import restore_variables
 
-            with ocp.StandardCheckpointer() as ckptr:
-                det.variables = ckptr.restore(
-                    Path(args.checkpoint).absolute(), det.variables
-                )
+            det.variables = restore_variables(args.checkpoint)
     return det
 
 
@@ -80,7 +77,7 @@ def run_images(det: Detector, image_dir: str, out_dir: str):
     )
     if not paths:
         print(f"no images in {image_dir}; generating a synthetic frame")
-        from fdtpu.data import make_synthetic_widerface, parse_wider_annotations
+        from fdtpu.data import make_synthetic_widerface
         import tempfile
 
         root = make_synthetic_widerface(tempfile.mkdtemp(), num_images=3)
@@ -97,7 +94,9 @@ def run_images(det: Detector, image_dir: str, out_dir: str):
 
 
 def run_camera(det: Detector):
-    """The reference's webcam loop (``demo_model.py:40-57``)."""
+    """The reference's webcam loop (``demo_model.py:40-57``): like the
+    reference's ``extract_face``, boxes are drawn on the model-resized frame
+    (predict returns coordinates in that space)."""
     import cv2
 
     vid = cv2.VideoCapture(0)
@@ -107,12 +106,15 @@ def run_camera(det: Detector):
             break
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         norm, boxes, mask = det.predict(rgb)
+        display = cv2.cvtColor(
+            (np.asarray(norm) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+        )
         for b, ok in zip(np.asarray(boxes), np.asarray(mask)):
             if not ok:
                 continue
             x, y, w, h = (int(v) for v in b[1:])
-            cv2.rectangle(frame, (x, y), (x + w, y + h), (255, 0, 0), 2)
-        cv2.imshow("fdtpu", frame)
+            cv2.rectangle(display, (x, y), (x + w, y + h), (255, 0, 0), 2)
+        cv2.imshow("fdtpu", display)
         if cv2.waitKey(1) == 27:  # ESC (demo_model.py:53)
             break
     vid.release()

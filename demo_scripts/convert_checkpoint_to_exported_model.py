@@ -54,12 +54,9 @@ def main():
                 args.checkpoint, module, variables
             )
         else:
-            import orbax.checkpoint as ocp
+            from fdtpu.train.checkpoint import restore_variables
 
-            with ocp.StandardCheckpointer() as ckptr:
-                variables = ckptr.restore(
-                    Path(args.checkpoint).absolute(), variables
-                )
+            variables = restore_variables(args.checkpoint)
 
     path = export_predict(
         module, variables, args.out, batch_size=args.batch,

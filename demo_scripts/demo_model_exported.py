@@ -35,7 +35,9 @@ def main():
     paths = sorted(Path(args.images).glob("*"))
     paths = [q for q in paths if q.suffix.lower() in (".jpg", ".jpeg", ".png")]
     for path in paths:
-        img = Image.open(path).convert("RGB").resize((args.input, args.input))
+        img = Image.open(path).convert("RGB").resize(
+            (args.input, args.input), Image.BILINEAR
+        )
         x = jnp.asarray(np.asarray(img, np.float32)[None])
         t0 = time.perf_counter()
         boxes, mask = predict(x)

@@ -54,12 +54,9 @@ def main():
                 args.checkpoint, module, det.variables
             )
         else:
-            import orbax.checkpoint as ocp
+            from fdtpu.train.checkpoint import restore_variables
 
-            with ocp.StandardCheckpointer() as ckptr:
-                det.variables = ckptr.restore(
-                    Path(args.checkpoint).absolute(), det.variables
-                )
+            det.variables = restore_variables(args.checkpoint)
 
     paths = sorted(Path(args.images).glob("*"))
     paths = [p for p in paths if p.suffix.lower() in (".jpg", ".jpeg", ".png")]

@@ -39,3 +39,21 @@ def restore_checkpoint(path: str | Path, template: TrainState) -> TrainState:
     """Restore into the structure of ``template`` (shapes/dtypes must match)."""
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(Path(path).absolute(), template)
+
+
+def restore_variables(path: str | Path) -> dict:
+    """Restore a checkpoint as a Flax ``variables`` dict for inference.
+
+    Accepts both checkpoint flavors: a Trainer checkpoint (full TrainState
+    tree — params/batch_stats/opt_state/step) or a bare variables tree. Uses
+    a template-free restore so inference entry points don't need to
+    reconstruct the optimizer state just to read weights.
+    """
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(Path(path).absolute())
+    if "params" not in raw:
+        raise ValueError(f"unrecognized checkpoint structure at {path}: {list(raw)}")
+    variables = {"params": raw["params"]}
+    if raw.get("batch_stats"):
+        variables["batch_stats"] = raw["batch_stats"]
+    return variables

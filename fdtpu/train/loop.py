@@ -64,7 +64,8 @@ class Trainer:
             neg_pos_ratio=neg_pos_ratio,
         )
         self.eval_step = make_eval_step(
-            module, config, nms_params=nms_params, return_boxes=True
+            module, config, nms_params=nms_params, return_boxes=True,
+            neg_pos_ratio=neg_pos_ratio,  # keep train/val objectives aligned
         )
         self.rng = jax.random.PRNGKey(config.seed + 1)
         self.epoch = 0

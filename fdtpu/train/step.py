@@ -211,6 +211,7 @@ def make_eval_step(
     config: TrainConfig | None = None,
     nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
     return_boxes: bool = False,
+    neg_pos_ratio: int = 10,
 ) -> Callable:
     """Build the jitted eval step (``validation_step``/``test_step``
     equivalent, ``ModelMeta.py:233-239``): loss + reference metrics, and
@@ -218,7 +219,7 @@ def make_eval_step(
     """
     image_size = (module.input_shape[1], module.input_shape[0])
     prob, iou_thr, capacity = nms_params
-    npr = getattr(config, "neg_pos_ratio", 10) if config else 10
+    npr = neg_pos_ratio
 
     def step_fn(state: TrainState, images, boxes, box_mask, sample_mask):
         imgs, bx, bm = _prepare_inputs(images, boxes, box_mask, None, False)

@@ -10,7 +10,7 @@ import argparse
 import jax
 import numpy as np
 
-from fdtpu.data import BatchLoader, WIDERFaceDataSource, load_targets
+from fdtpu.data import WIDERFaceDataSource, load_targets
 from fdtpu.models import Detector, build_model
 from fdtpu.utils.config import DetectorConfig
 
@@ -38,14 +38,9 @@ def main():
     det = Detector(module)
     det.init(jax.random.PRNGKey(0))
     if args.checkpoint:
-        from pathlib import Path
+        from fdtpu.train.checkpoint import restore_variables
 
-        import orbax.checkpoint as ocp
-
-        with ocp.StandardCheckpointer() as ckptr:
-            det.variables = ckptr.restore(
-                Path(args.checkpoint).absolute(), det.variables
-            )
+        det.variables = restore_variables(args.checkpoint)
 
     targets = load_targets(args.data_dir, "val", max_faces=3)
     src = WIDERFaceDataSource(targets, cfg.input_shape, 8)

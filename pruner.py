@@ -26,11 +26,13 @@ def benchmark_model(module, variables, batch: int, size: int, iters: int = 10):
         np.random.default_rng(0).uniform(0, 1, (batch, size, size, 3)), jnp.float32
     )
     fwd = jax.jit(lambda v, t: module.apply(v, t, train=False))
-    jax.block_until_ready(fwd(variables, x))
+    # device_get, not block_until_ready: the latter does not fully sync
+    # through the TPU tunnel (CLAUDE.md)
+    jax.device_get(fwd(variables, x))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, x)
-    jax.block_until_ready(out)
+    jax.device_get(out)
     dt = (time.perf_counter() - t0) / iters
     return dt, batch / dt
 
@@ -66,12 +68,9 @@ def main():
         train=False,
     )
     if args.checkpoint:
-        from pathlib import Path
+        from fdtpu.train.checkpoint import restore_variables
 
-        import orbax.checkpoint as ocp
-
-        with ocp.StandardCheckpointer() as ckptr:
-            variables = ckptr.restore(Path(args.checkpoint).absolute(), variables)
+        variables = restore_variables(args.checkpoint)
 
     dt, fps = benchmark_model(module, variables, args.batch, args.input)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
@@ -86,7 +85,6 @@ def main():
     print(f"after:  {n_params/1e6:.3f}M params, {dt*1000:.1f} ms/batch, {fps:.1f} img/s")
 
     if args.save:
-        from fdtpu.train.checkpoint import save_checkpoint  # noqa: F401
         import orbax.checkpoint as ocp
         from pathlib import Path
 

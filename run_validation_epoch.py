@@ -76,9 +76,7 @@ def main():
                 params=variables["params"],
                 batch_stats=variables.get("batch_stats", {}),
             )
-            from fdtpu.train.step import make_eval_step as _mes
-
-            trainer.eval_step = _mes(
+            trainer.eval_step = make_eval_step(
                 module, train_cfg,
                 nms_params=(args.prob_threshold, args.iou_threshold, 64),
                 return_boxes=True,
@@ -87,31 +85,38 @@ def main():
             from fdtpu.train.checkpoint import restore_checkpoint
 
             trainer.state = restore_checkpoint(args.checkpoint, trainer.state)
-    metrics = trainer.test(loader)
-    print({k: round(v, 5) for k, v in metrics.items()})
+    if not args.with_ap:
+        metrics = trainer.test(loader)
+        print({k: round(v, 5) for k, v in metrics.items()})
+        return
 
-    if args.with_ap:
-        eval_step = make_eval_step(
-            module, train_cfg,
-            nms_params=(args.prob_threshold, args.iou_threshold, 64),
-            return_boxes=True,
+    # single pass: the eval step already returns decoded boxes per batch, so
+    # accumulate scalar metrics and AP inputs together (the tunneled TPU
+    # makes a second epoch expensive)
+    from fdtpu.train.metrics import f1_score
+
+    agg = {}
+    all_pred, all_pmask, all_gt, all_gmask = [], [], [], []
+    for batch in loader:
+        scalars, (pb, pm) = trainer.eval_step(
+            trainer.state, batch.images, batch.boxes,
+            batch.box_mask, batch.sample_mask,
         )
-        all_pred, all_pmask, all_gt, all_gmask = [], [], [], []
-        for batch in loader:
-            _, (pb, pm) = eval_step(
-                trainer.state, batch.images, batch.boxes,
-                batch.box_mask, batch.sample_mask,
-            )
-            keep = batch.sample_mask
-            all_pred.append(np.asarray(pb)[keep])
-            all_pmask.append(np.asarray(pm)[keep])
-            all_gt.append(batch.boxes[keep])
-            all_gmask.append(batch.box_mask[keep])
-        ap = average_precision(
-            np.concatenate(all_pred), np.concatenate(all_pmask),
-            np.concatenate(all_gt), np.concatenate(all_gmask),
-        )
-        print({"AP@0.5": round(ap, 5)})
+        for k, v in scalars.items():
+            agg.setdefault(k, []).append(v)
+        keep = batch.sample_mask
+        all_pred.append(np.asarray(pb)[keep])
+        all_pmask.append(np.asarray(pm)[keep])
+        all_gt.append(batch.boxes[keep])
+        all_gmask.append(batch.box_mask[keep])
+    metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+    metrics["f1"] = f1_score(metrics["precision"], metrics["recall"])
+    print({k: round(v, 5) for k, v in metrics.items()})
+    ap = average_precision(
+        np.concatenate(all_pred), np.concatenate(all_pmask),
+        np.concatenate(all_gt), np.concatenate(all_gmask),
+    )
+    print({"AP@0.5": round(ap, 5)})
 
 
 if __name__ == "__main__":

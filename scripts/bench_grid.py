@@ -54,7 +54,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fdtpu.core.nms import decode_filter_nms, ssd_output_filter_nms
+    from fdtpu.core.nms import decode_filter_nms
     from fdtpu.models import (
         MobileNetV3Backbone, PoolResnet, SSD, SeparableCNN, ssd_patch_sizes,
     )

@@ -8,10 +8,6 @@ mixed precision (bf16 — the TPU-native counterpart of precision=16).
 """
 
 import argparse
-import dataclasses
-from pathlib import Path
-
-import jax
 
 from fdtpu.data import (
     BatchLoader,
