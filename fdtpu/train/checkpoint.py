@@ -49,8 +49,24 @@ def restore_variables(path: str | Path) -> dict:
     a template-free restore so inference entry points don't need to
     reconstruct the optimizer state just to read weights.
     """
+    import jax
+    import jax.numpy as jnp
+
     with ocp.StandardCheckpointer() as ckptr:
-        raw = ckptr.restore(Path(path).absolute())
+        # Build an abstract template from the checkpoint's own metadata so
+        # arrays restore onto the *current* backend — a bare restore pins
+        # them to the sharding they were saved with (e.g. a TPU checkpoint
+        # then fails to load on the CPU backend).
+        meta = ckptr.metadata(Path(path).absolute()).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        template = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(
+                m.shape, m.dtype or jnp.float32, sharding=dev
+            ),
+            tree,
+        )
+        raw = ckptr.restore(Path(path).absolute(), template)
     if "params" not in raw:
         raise ValueError(f"unrecognized checkpoint structure at {path}: {list(raw)}")
     variables = {"params": raw["params"]}

@@ -207,3 +207,27 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(jax.device_get(restored.params))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_restore_variables_both_flavors(tmp_path):
+    """restore_variables accepts Trainer (TrainState) and bare-variables
+    checkpoints, restoring onto the current backend regardless of the
+    sharding they were saved with."""
+    import orbax.checkpoint as ocp
+
+    from fdtpu.train.checkpoint import restore_variables, save_checkpoint
+
+    module = _small_poolresnet()
+    config = _config()
+    state, _ = create_train_state(module, config, jax.random.PRNGKey(0), 2)
+    p1 = save_checkpoint(tmp_path / "train", state)
+    v1 = restore_variables(p1)
+    assert "params" in v1 and "batch_stats" not in v1
+    np.testing.assert_array_equal(
+        np.asarray(v1["params"]["Conv_0"]["kernel"]),
+        np.asarray(state.params["Conv_0"]["kernel"]),
+    )
+    with ocp.StandardCheckpointer() as c:
+        c.save((tmp_path / "vars").absolute(), {"params": state.params}, force=True)
+    v2 = restore_variables(tmp_path / "vars")
+    assert "params" in v2
