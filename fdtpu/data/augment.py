@@ -81,6 +81,24 @@ def _depthwise_filter(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return out.transpose(0, 2, 3, 1)[0]
 
 
+def _sample_crop(keys, h: int, w: int):
+    """RandomResizedCrop window (p=P_CROP, Albumentations default
+    scale=(0.08, 1.0), ratio=(3/4, 4/3)): -> (cx, cy, cw, ch), identity
+    window (0, 0, w, h) when the gate doesn't fire. Split out so the
+    distribution is unit-testable."""
+    do_crop = jax.random.bernoulli(keys[0], P_CROP)
+    area = jax.random.uniform(keys[1], minval=0.08, maxval=1.0) * (w * h)
+    log_r = jax.random.uniform(
+        keys[2], minval=jnp.log(3.0 / 4.0), maxval=jnp.log(4.0 / 3.0)
+    )
+    ratio = jnp.exp(log_r)
+    cw = jnp.where(do_crop, jnp.clip(jnp.sqrt(area * ratio), 8.0, w), float(w))
+    ch = jnp.where(do_crop, jnp.clip(jnp.sqrt(area / ratio), 8.0, h), float(h))
+    cx = jnp.where(do_crop, jax.random.uniform(keys[3]) * (w - cw), 0.0)
+    cy = jnp.where(do_crop, jax.random.uniform(keys[4]) * (h - ch), 0.0)
+    return cx, cy, cw, ch
+
+
 # -- the device pipeline -------------------------------------------------------
 
 
@@ -99,16 +117,7 @@ def augment_sample(
     ks = jax.random.split(key, 12)
 
     # ---- RandomResizedCrop (Albumentations default scale/ratio ranges) ----
-    do_crop = jax.random.bernoulli(ks[0], P_CROP)
-    area = jax.random.uniform(ks[1], minval=0.08, maxval=1.0) * (w * h)
-    log_r = jax.random.uniform(
-        ks[2], minval=jnp.log(3.0 / 4.0), maxval=jnp.log(4.0 / 3.0)
-    )
-    ratio = jnp.exp(log_r)
-    cw = jnp.where(do_crop, jnp.clip(jnp.sqrt(area * ratio), 8.0, w), float(w))
-    ch = jnp.where(do_crop, jnp.clip(jnp.sqrt(area / ratio), 8.0, h), float(h))
-    cx = jnp.where(do_crop, jax.random.uniform(ks[3]) * (w - cw), 0.0)
-    cy = jnp.where(do_crop, jax.random.uniform(ks[4]) * (h - ch), 0.0)
+    cx, cy, cw, ch = _sample_crop(ks[:5], h, w)
     sy, sx = h / ch, w / cw
     # output[o] samples input[(o - t)/s]; we want input = c + o/s
     img = jax.image.scale_and_translate(

@@ -156,3 +156,46 @@ def test_warp_affine_identity(rng):
     img = rng.uniform(0, 255, size=(32, 32, 3)).astype(np.float32)
     out = np.asarray(_sample_affine(jnp.asarray(img), jnp.eye(3)))
     assert np.abs(out - img).max() < 2.0  # bf16 pixel rounding only
+
+
+def test_augment_gate_probabilities():
+    """Statistical check that the augmentation gates fire at the reference's
+    probabilities (datamodule.py:106-124): flip p=0.5 measured on a
+    half-black/half-white probe; crop p=0.2 and window distribution measured
+    directly on the parameter sampler."""
+    from fdtpu.data.augment import _sample_crop, augment_sample
+
+    h = w = 32
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, w // 2 :] = 255.0  # white right half
+    boxes = jnp.zeros((2, 5))
+    mask = jnp.zeros((2,), bool)
+
+    n = 300
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    outs, _, _ = jax.jit(
+        jax.vmap(lambda k: augment_sample(k, jnp.asarray(img), boxes, mask))
+    )(keys)
+    outs = np.asarray(outs)
+    # flip fired iff the left half is brighter (crop never swaps sides;
+    # photometric ops are side-symmetric)
+    left = outs[:, :, : w // 2].mean(axis=(1, 2, 3))
+    right = outs[:, :, w // 2 :].mean(axis=(1, 2, 3))
+    flip_rate = float((left > right).mean())
+    assert 0.40 < flip_rate < 0.60, flip_rate
+
+    # crop gate distribution, tested on the sampler itself
+    cx, cy, cw, ch = jax.jit(
+        jax.vmap(lambda k: _sample_crop(jax.random.split(k, 5), 320, 320))
+    )(keys)
+    cw, ch = np.asarray(cw), np.asarray(ch)
+    fired = cw < 320
+    rate = float(fired.mean())
+    assert 0.13 < rate < 0.28, rate
+    # windows within Albumentations' scale/ratio ranges
+    area = (cw[fired] / 320) * (ch[fired] / 320)
+    assert area.min() >= 0.05 and area.max() <= 1.01
+    ratio = cw[fired] / ch[fired]
+    assert ratio.min() >= 0.74 and ratio.max() <= 1.36
+    assert (np.asarray(cx)[fired] >= 0).all()
+    assert (np.asarray(cx)[fired] + cw[fired] <= 320.01).all()
