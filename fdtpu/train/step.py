@@ -39,7 +39,7 @@ from fdtpu.core.priors import (
     encode_ssd_targets,
     prior_scales,
 )
-from fdtpu.data.augment import augment_sample
+from fdtpu.data.augment import augment_batch_fast
 from fdtpu.losses.ssd import ssd_loss
 from fdtpu.losses.yolo import yolo_loss
 from fdtpu.models.detector import is_ssd
@@ -52,8 +52,7 @@ from fdtpu.utils.config import TrainConfig
 def _prepare_inputs(images, boxes, box_mask, rng, augment: bool):
     """uint8 batch -> float [0,1] batch (+ augmented boxes)."""
     if augment:
-        keys = jax.random.split(rng, images.shape[0])
-        return jax.vmap(augment_sample)(keys, images, boxes, box_mask)
+        return augment_batch_fast(rng, images, boxes, box_mask)
     imgs = images.astype(jnp.float32) / 255.0
     return imgs, boxes, box_mask & (boxes[..., 3] * boxes[..., 4] >= 10.0)
 
