@@ -59,7 +59,7 @@ def _gaussian_kernel5(sigma: float = 0.7) -> jnp.ndarray:
     return jnp.outer(k, k)
 
 
-def _motion_kernel7(angle: jnp.ndarray) -> jnp.ndarray:
+def _motion_kernel7(angle) -> jnp.ndarray:
     """7x7 line kernel at ``angle`` (radians) — MotionBlur's random line."""
     r = jnp.arange(-3, 4, dtype=jnp.float32)
     yy, xx = jnp.meshgrid(r, r, indexing="ij")
@@ -74,7 +74,7 @@ def _depthwise_filter(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Apply one 2-D kernel to every channel of an (H, W, C) image."""
     c = img.shape[-1]
     lhs = img[None].transpose(0, 3, 1, 2)  # NCHW
-    rhs = jnp.tile(kernel[None, None], (c, 1, 1, 1))
+    rhs = jnp.tile(kernel[None, None].astype(img.dtype), (c, 1, 1, 1))
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1, 1), padding="SAME", feature_group_count=c
     )
@@ -132,8 +132,14 @@ def _apply_crop(img, boxes, mask, cx, cy, cw, ch):
 
 
 def _post_crop_sample(key, img, boxes, mask):
-    """Everything after the crop: flip + photometric, one sample."""
+    """Everything after the crop: flip + photometric, one sample.
+
+    Runs in bfloat16: the photometric chain is HBM-bound full-image passes,
+    pixel values are 0..255 (bf16 ulp <= 1 intensity level), and the model
+    casts its input to bf16 anyway.
+    """
     h, w = img.shape[0], img.shape[1]
+    img = img.astype(jnp.bfloat16)
     ks = jax.random.split(key, 12)
     x0, y0 = boxes[:, 1], boxes[:, 2]
     bw, bh = boxes[:, 3], boxes[:, 4]
@@ -152,12 +158,14 @@ def _post_crop_sample(key, img, boxes, mask):
     beta = jnp.where(
         do_bc, jax.random.uniform(ks[8], minval=-0.2, maxval=0.2) * 255.0, 0.0
     )
-    img = img * alpha + beta
+    img = img * alpha.astype(img.dtype) + beta.astype(img.dtype)
 
     do_noise = jax.random.bernoulli(ks[9], P_NOISE)
     sigma = jnp.sqrt(jax.random.uniform(ks[10], minval=10.0, maxval=400.0))
-    noise = jax.random.normal(ks[11], img.shape) * sigma
-    img = img + jnp.where(do_noise, 1.0, 0.0) * noise
+    noise = jax.random.normal(ks[11], img.shape, dtype=img.dtype) * sigma.astype(
+        img.dtype
+    )
+    img = img + jnp.where(do_noise, 1.0, 0.0).astype(img.dtype) * noise
 
     kn = jax.random.split(jax.random.fold_in(key, 7), 3)
     do_glass = jax.random.bernoulli(kn[0], P_GLASS)
@@ -169,7 +177,7 @@ def _post_crop_sample(key, img, boxes, mask):
     motion = _depthwise_filter(img, _motion_kernel7(mangle))
     img = jnp.where(do_motion, motion, img)
 
-    img = jnp.clip(img, 0.0, 255.0) / 255.0  # dataset.py:146
+    img = jnp.clip(img.astype(jnp.float32), 0.0, 255.0) / 255.0  # dataset.py:146
     boxes = jnp.concatenate(
         [boxes[:, :1], jnp.round(boxes[:, 1:])], axis=1
     )  # dataset.py:88 rounds transformed boxes
