@@ -24,6 +24,14 @@ def make_mesh(
     """1-D data mesh by default; ``spatial > 1`` folds a second axis."""
     devices = devices if devices is not None else jax.devices()
     n = num_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh needs {n} devices but only {len(devices)} are "
+            f"visible (platform {devices[0].platform!r}). For CPU testing, "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+            'force jax.config.update("jax_platforms", "cpu") before any '
+            "backend use (the axon TPU plugin ignores JAX_PLATFORMS)."
+        )
     devices = np.asarray(devices[:n])
     if spatial > 1:
         assert n % spatial == 0, (n, spatial)
