@@ -284,11 +284,16 @@ class DevicePrefetcher:
     """Double-buffered host->device feed (SURVEY.md §2.7): while the train
     step for batch N runs, batch N+1 is already being transferred —
     ``jax.device_put`` is asynchronous, so issuing it one batch ahead
-    overlaps H2D with compute. Wraps any ``Batch`` iterable."""
+    overlaps H2D with compute. Wraps any ``Batch`` iterable.
 
-    def __init__(self, loader, device=None, lookahead: int = 1):
+    With ``mesh`` set, batches are device-put pre-sharded along the 'data'
+    axis (``fdtpu.parallel.shard_batch_arrays``) so the data-parallel step
+    receives its intended layout without an XLA resharding copy."""
+
+    def __init__(self, loader, device=None, lookahead: int = 1, mesh=None):
         self.loader = loader
         self.device = device
+        self.mesh = mesh
         self.lookahead = max(1, lookahead)
 
     def __len__(self):
@@ -297,6 +302,14 @@ class DevicePrefetcher:
     def _put(self, batch: Batch) -> Batch:
         import jax
 
+        if self.mesh is not None:
+            from fdtpu.parallel.mesh import shard_batch_arrays
+
+            images, boxes, box_mask, sample_mask = shard_batch_arrays(
+                self.mesh, batch.images, batch.boxes,
+                batch.box_mask, batch.sample_mask,
+            )
+            return Batch(images, boxes, box_mask, sample_mask)
         dev = self.device or jax.devices()[0]
         return Batch(
             images=jax.device_put(batch.images, dev),

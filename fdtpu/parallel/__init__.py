@@ -11,6 +11,7 @@ from fdtpu.parallel.mesh import (  # noqa: F401
     shard_batch_arrays,
 )
 from fdtpu.parallel.dp import (  # noqa: F401
+    make_dp_eval_step,
     make_dp_train_step,
     make_shardmap_dp_train_step,
 )

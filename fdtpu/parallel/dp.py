@@ -32,6 +32,7 @@ from fdtpu.train.step import (
     _encode_targets,
     _loss_and_out,
     _prepare_inputs,
+    make_eval_step,
     make_train_step,
 )
 from fdtpu.utils.config import TrainConfig
@@ -75,6 +76,38 @@ def make_dp_train_step(
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_dp_eval_step(
+    module,
+    config: TrainConfig | None,
+    mesh: Mesh,
+    nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
+    return_boxes: bool = False,
+    neg_pos_ratio: int = 10,
+):
+    """GSPMD data-parallel eval step — validation epochs scale with the same
+    mesh as training. The decode+NMS path is forced to the pure-XLA twin
+    (``pallas_nms=False``): a ``pallas_call`` carries no GSPMD partitioning
+    rule, so under batch sharding XLA would all-gather the batch onto every
+    chip; the XLA decode partitions cleanly along the batch axis."""
+    step_fn = make_eval_step(
+        module, config, nms_params=nms_params, return_boxes=return_boxes,
+        neg_pos_ratio=neg_pos_ratio, jit=False, pallas_nms=False,
+    )
+    rep = replicate(mesh)
+    in_shardings = (
+        rep,  # state
+        batch_sharding(mesh, 4),  # images
+        batch_sharding(mesh, 3),  # boxes
+        batch_sharding(mesh, 2),  # box_mask
+        batch_sharding(mesh, 1),  # sample_mask
+    )
+    if return_boxes:
+        out_shardings = (rep, (batch_sharding(mesh, 3), batch_sharding(mesh, 2)))
+    else:
+        out_shardings = rep
+    return jax.jit(step_fn, in_shardings=in_shardings, out_shardings=out_shardings)
 
 
 def make_shardmap_dp_train_step(

@@ -58,15 +58,40 @@ class Trainer:
         self.state, self.tx = create_train_state(
             module, config, rng, steps_per_epoch=max(len(train_loader), 1)
         )
-        self.train_step = make_train_step(
-            module, self.tx, config, augment=augment,
-            compute_metrics=False, nms_params=nms_params,
-            neg_pos_ratio=neg_pos_ratio,
-        )
-        self.eval_step = make_eval_step(
-            module, config, nms_params=nms_params, return_boxes=True,
-            neg_pos_ratio=neg_pos_ratio,  # keep train/val objectives aligned
-        )
+        self.mesh = None
+        dp = config.data_parallel
+        if dp is not None and dp != 0 and dp != 1:
+            # Data parallelism over a 1-D 'data' mesh: the same step body,
+            # GSPMD-jitted with batch-sharded inputs; XLA places the gradient
+            # all-reduce on ICI (the north star's "jit/pmap step doing
+            # gradient allreduce", SURVEY.md §2.8).
+            from fdtpu.parallel import make_dp_eval_step, make_dp_train_step, make_mesh
+
+            n = len(jax.devices()) if dp == -1 else dp
+            if train_loader.batch_size % n:
+                raise ValueError(
+                    f"data_parallel={n} requires batch_size divisible by the "
+                    f"mesh size (got batch_size={train_loader.batch_size})"
+                )
+            self.mesh = make_mesh(n)
+            self.train_step = make_dp_train_step(
+                module, self.tx, config, self.mesh, augment=augment,
+                neg_pos_ratio=neg_pos_ratio,
+            )
+            self.eval_step = make_dp_eval_step(
+                module, config, self.mesh, nms_params=nms_params,
+                return_boxes=True, neg_pos_ratio=neg_pos_ratio,
+            )
+        else:
+            self.train_step = make_train_step(
+                module, self.tx, config, augment=augment,
+                compute_metrics=False, nms_params=nms_params,
+                neg_pos_ratio=neg_pos_ratio,
+            )
+            self.eval_step = make_eval_step(
+                module, config, nms_params=nms_params, return_boxes=True,
+                neg_pos_ratio=neg_pos_ratio,  # keep train/val objectives aligned
+            )
         self.rng = jax.random.PRNGKey(config.seed + 1)
         self.epoch = 0
         self.profile_dir: str | None = None  # set to capture jax.profiler traces
@@ -105,7 +130,9 @@ class Trainer:
 
     def _train_epoch_body(self) -> dict:
         losses = []
-        for bi, batch in enumerate(DevicePrefetcher(self.train_loader)):
+        for bi, batch in enumerate(
+            DevicePrefetcher(self.train_loader, mesh=self.mesh)
+        ):
             if bi == 0 and self.config.visualize_first_batch:
                 # ModelMeta.py:144-157: render the first train batch's preds
                 _, (pred_boxes, pred_mask) = self.eval_step(
@@ -150,7 +177,7 @@ class Trainer:
             return {}
         agg: dict[str, list] = {}
         first = True
-        for batch in DevicePrefetcher(loader):
+        for batch in DevicePrefetcher(loader, mesh=self.mesh):
             scalars, (pred_boxes, pred_mask) = self.eval_step(
                 self.state,
                 batch.images,

@@ -45,8 +45,14 @@ def make_lr_schedule(config: TrainConfig, steps_per_epoch: int):
 
 def make_optimizer(config: TrainConfig, steps_per_epoch: int):
     """Adam with the reference's defaults (torch Adam: b1=0.9, b2=0.999,
-    eps=1e-8) under the MultiStep schedule."""
-    return optax.adam(make_lr_schedule(config, steps_per_epoch))
+    eps=1e-8) under the MultiStep schedule; ``config.optimizer="sgd"`` swaps
+    in plain SGD (useful where Adam's sign(grad) first step amplifies fp
+    reduction-order noise, e.g. cross-layout numerics tests)."""
+    schedule = make_lr_schedule(config, steps_per_epoch)
+    if config.optimizer == "sgd":
+        return optax.sgd(schedule)
+    assert config.optimizer == "adam", config.optimizer
+    return optax.adam(schedule)
 
 
 def create_train_state(

@@ -78,7 +78,8 @@ def _encode_targets(module, boxes, box_mask, image_size):
     return enc, None
 
 
-def _decode_predictions(module, out, image_size, prob, iou, capacity):
+def _decode_predictions(module, out, image_size, prob, iou, capacity,
+                        pallas_nms: bool | None = None):
     from fdtpu.kernels import (
         grid_decode_tables,
         pallas_decode_filter_nms_batch,
@@ -86,7 +87,9 @@ def _decode_predictions(module, out, image_size, prob, iou, capacity):
         ssd_output_decode_tables,
     )
 
-    if pallas_nms_available():
+    if pallas_nms is None:
+        pallas_nms = pallas_nms_available()
+    if pallas_nms:
         # whole-batch fused Pallas kernel (faster than the vmapped XLA path
         # on TPU; see fdtpu/kernels/nms_pallas.py)
         if is_ssd(module):
@@ -211,10 +214,16 @@ def make_eval_step(
     nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
     return_boxes: bool = False,
     neg_pos_ratio: int = 10,
+    jit: bool = True,
+    pallas_nms: bool | None = None,
 ) -> Callable:
     """Build the jitted eval step (``validation_step``/``test_step``
     equivalent, ``ModelMeta.py:233-239``): loss + reference metrics, and
     optionally the decoded boxes (for visualization / AP accumulation).
+
+    ``pallas_nms=False`` forces the pure-XLA decode path — required under
+    GSPMD batch sharding, where ``pallas_call`` has no partitioning rule
+    (see ``fdtpu/parallel/dp.py:make_dp_eval_step``).
     """
     image_size = (module.input_shape[1], module.input_shape[0])
     prob, iou_thr, capacity = nms_params
@@ -228,7 +237,7 @@ def make_eval_step(
             None, False, npr, sample_mask,
         )
         pred_boxes, pred_mask = _decode_predictions(
-            module, out, image_size, prob, iou_thr, capacity
+            module, out, image_size, prob, iou_thr, capacity, pallas_nms
         )
         scalars = {"loss": loss_sum}
         scalars.update(detection_metrics(pred_boxes, pred_mask, bx, bm, sample_mask))
@@ -236,4 +245,4 @@ def make_eval_step(
             return scalars, (pred_boxes, pred_mask)
         return scalars
 
-    return jax.jit(step_fn)
+    return jax.jit(step_fn) if jit else step_fn

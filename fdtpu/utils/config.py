@@ -66,6 +66,7 @@ class TrainConfig:
     (``train_model.py:47-59``, ``ModelMeta.py:28,104-112``)."""
 
     learning_rate: float = 1e-4
+    optimizer: str = "adam"  # "adam" (reference SAMSGD base) or "sgd"
     max_epochs: int = 70
     batch_size: int = 8
     box_capacity: int = 8  # max gt boxes per image (dataset filters to <3)

@@ -111,6 +111,75 @@ def test_spatial_sharding_compiles(rng):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_trainer_data_parallel_matches_single(tmp_path):
+    """The product path: TrainConfig.data_parallel=8 through Trainer.fit on
+    the 8-device CPU mesh matches single-device numerics (train loss, val
+    metrics, final params)."""
+    from fdtpu.data import (
+        BatchLoader,
+        WIDERFaceDataSource,
+        load_targets,
+        make_synthetic_widerface,
+    )
+    from fdtpu.train import Trainer
+
+    root = make_synthetic_widerface(tmp_path / "wider", num_images=8, max_faces=2)
+    targets = load_targets(root, "train", max_faces=3)
+
+    def make_trainer(dp, tag):
+        src = WIDERFaceDataSource(
+            targets, (SIZE, SIZE), box_capacity=4, error_log=None
+        )
+        train = BatchLoader(src, batch_size=8, drop_last=True, shuffle=True, seed=3)
+        val = BatchLoader(src, batch_size=8)
+        module = PoolResnet(
+            filters=8, input_shape=(SIZE, SIZE), num_patches=10,
+            num_residual_blocks=2, dtype=jnp.float32,
+        )
+        # SGD for the same reason as test_gspmd_dp_matches_single_device:
+        # Adam's sign(grad) first step amplifies reduction-order noise.
+        config = TrainConfig(
+            learning_rate=1e-3, optimizer="sgd", use_sam=False, max_epochs=1,
+            batch_size=8, box_capacity=4, visualize_first_batch=False,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            log_path=str(tmp_path / f"logs_{tag}/out.log"),
+            data_parallel=dp,
+        )
+        return Trainer(module, config, train, val, augment=False, run_name="t")
+
+    t1 = make_trainer(None, "single")
+    out1 = t1.fit()
+    t8 = make_trainer(8, "dp8")
+    assert t8.mesh is not None and dict(t8.mesh.shape) == {"data": 8}
+    out8 = t8.fit()
+
+    np.testing.assert_allclose(
+        out1["train"]["loss"], out8["train"]["loss"], rtol=1e-4
+    )
+    for k in ("loss", "recall", "precision", "iou"):
+        np.testing.assert_allclose(out1["val"][k], out8["val"][k], rtol=1e-3,
+                                   atol=1e-6, err_msg=k)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t1.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(t8.state.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-6)
+
+
+def test_trainer_data_parallel_batch_divisibility(tmp_path):
+    from fdtpu.data import BatchLoader, WIDERFaceDataSource
+    from fdtpu.train import Trainer
+
+    src = WIDERFaceDataSource([], (SIZE, SIZE), box_capacity=4, error_log=None)
+    loader = BatchLoader(src, batch_size=6)
+    module = PoolResnet(filters=8, input_shape=(SIZE, SIZE), num_patches=10,
+                        num_residual_blocks=2)
+    config = TrainConfig(batch_size=6, data_parallel=8,
+                         visualize_first_batch=False)
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(module, config, loader, run_name="bad")
+
+
 def test_multihost_helpers_single_process(rng):
     """Single-process no-op path + process-local global batch assembly."""
     from fdtpu.parallel import global_batch_from_local, initialize_multihost

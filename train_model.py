@@ -40,7 +40,22 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-train-images", type=int, default=0,
                    help="subset for quick runs (0 = all)")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="devices on the 'data' mesh axis (0 = single device, "
+                        "-1 = all visible devices); batch size must divide")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; use --platform cpu for host runs)")
     return p.parse_args()
+
+
+def apply_platform(platform: str | None) -> None:
+    """Force the jax backend before any backend initialization (must be the
+    config API — this image's axon TPU plugin overrides JAX_PLATFORMS)."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
 
 def main():
@@ -49,6 +64,7 @@ def main():
     enable_compilation_cache()
 
     args = parse_args()
+    apply_platform(args.platform)
     run_name = (
         f"{args.model}_{args.filters}_{args.patches}x{args.patches}_"
         f"{args.input}x{args.input}"
@@ -68,6 +84,7 @@ def main():
         seed=args.seed,
         log_path=f"logs/out_{run_name}.log",
         checkpoint_dir="checkpoints",
+        data_parallel=args.data_parallel,
     )
 
     download_dataset_files(args.data_dir)

@@ -34,15 +34,23 @@ def parse_args():
     p.add_argument("--box-capacity", type=int, default=128)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-train-images", type=int, default=0)
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="devices on the 'data' mesh axis (0 = single device, "
+                        "-1 = all visible devices); batch size must divide")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; use --platform cpu for host runs)")
     return p.parse_args()
 
 
 def main():
     from fdtpu.utils.cache import enable_compilation_cache
+    from train_model import apply_platform
 
     enable_compilation_cache()
 
     args = parse_args()
+    apply_platform(args.platform)
     run_name = f"ssd_{args.filters}_{args.input}x{args.input}"
     cfg = SSDConfig(
         filters=args.filters,
@@ -58,6 +66,7 @@ def main():
         use_sam=not args.no_sam,
         seed=args.seed,
         log_path=f"logs/out_{run_name}.log",
+        data_parallel=args.data_parallel,
     )
 
     download_dataset_files(args.data_dir)
