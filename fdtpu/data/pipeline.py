@@ -89,6 +89,50 @@ class WIDERFaceDataSource:
     def __len__(self) -> int:
         return len(self.targets)
 
+    def _resolve_target(self, index: int) -> dict:
+        """Degenerate all-zero-box fallback (dataset.py:97-99)."""
+        target = self.targets[index]
+        bbx = target["bbx"]
+        if bbx.shape[0] and (bbx[:, 1:] == 0).all(axis=1).any():
+            target = self.targets[index - 1]
+        return target
+
+    def _finish_sample(self, arr: np.ndarray, bbx: np.ndarray, w0: int, h0: int):
+        """Decoded frame + source-frame boxes -> (img, padded boxes, mask):
+        box rescale + round (dataset.py:88), host rotation, pad."""
+        h, w = self.input_shape
+        boxes = bbx.copy()
+        if boxes.shape[0]:
+            boxes[:, [1, 3]] *= w / w0
+            boxes[:, [2, 4]] *= h / h0
+            boxes[:, 1:] = np.round(boxes[:, 1:])  # dataset.py:88
+        if boxes.shape[0] > self.box_capacity and not getattr(
+            self, "_warned_truncate", False
+        ):
+            self._warned_truncate = True
+            import warnings
+
+            warnings.warn(
+                f"image has {boxes.shape[0]} boxes but box_capacity="
+                f"{self.box_capacity}; extra ground truth is dropped. "
+                "Raise box_capacity (SSD pipelines need ~128, see "
+                "train_model_ssd.py).",
+                stacklevel=2,
+            )
+        if self.rotate_prob and self._rng.random() < self.rotate_prob:
+            angle = float(
+                self._rng.uniform(-self.rotate_limit, self.rotate_limit)
+            )
+            arr, boxes = rotate_image_and_boxes(arr, boxes, angle)
+        padded, mask = pad_boxes(boxes, self.box_capacity)
+        return arr, padded, mask
+
+    def _log_failure(self, index: int) -> None:
+        # dataset.py:148-150: append-only incorrect_indices.log
+        if self.error_log:
+            with open(self.error_log, "a") as f:
+                f.write(f"{index}, {self.targets[index].get('img_path')}\n")
+
     def get(self, index: int, _depth: int = 0):
         """-> (image uint8 (H, W, 3), boxes (K, 5), mask (K,))."""
         if _depth > 3:
@@ -96,47 +140,56 @@ class WIDERFaceDataSource:
             # sample 0 itself is bad (dataset.py:150); cap the retries.
             raise RuntimeError(f"sample {index} and its neighbors failed to load")
         try:
-            target = self.targets[index]
-            bbx = target["bbx"]
-            # degenerate all-zero-box fallback (dataset.py:97-99)
-            if bbx.shape[0] and (bbx[:, 1:] == 0).all(axis=1).any():
-                target = self.targets[index - 1]
-                bbx = target["bbx"]
+            target = self._resolve_target(index)
             arr, (w0, h0) = self._decode(target["img_path"])
-            h, w = self.input_shape
-            boxes = bbx.copy()
-            if boxes.shape[0]:
-                boxes[:, [1, 3]] *= w / w0
-                boxes[:, [2, 4]] *= h / h0
-                boxes[:, 1:] = np.round(boxes[:, 1:])  # dataset.py:88
-            if boxes.shape[0] > self.box_capacity and not getattr(
-                self, "_warned_truncate", False
-            ):
-                self._warned_truncate = True
-                import warnings
-
-                warnings.warn(
-                    f"image has {boxes.shape[0]} boxes but box_capacity="
-                    f"{self.box_capacity}; extra ground truth is dropped. "
-                    "Raise box_capacity (SSD pipelines need ~128, see "
-                    "train_model_ssd.py).",
-                    stacklevel=2,
-                )
-            if self.rotate_prob and self._rng.random() < self.rotate_prob:
-                angle = float(
-                    self._rng.uniform(-self.rotate_limit, self.rotate_limit)
-                )
-                arr, boxes = rotate_image_and_boxes(arr, boxes, angle)
-            padded, mask = pad_boxes(boxes, self.box_capacity)
-            return arr, padded, mask
+            return self._finish_sample(arr, target["bbx"], w0, h0)
         except Exception:
             # dataset.py:148-150: log and substitute the neighbor sample
-            if self.error_log:
-                with open(self.error_log, "a") as f:
-                    f.write(f"{index}, {self.targets[index].get('img_path')}\n")
+            self._log_failure(index)
             return self.get(
                 index - 1 if index != 0 else index + 1, _depth=_depth + 1
             )
+
+    def get_batch(self, indices) -> list:
+        """Batched decode through the threaded C++ loader
+        (``fdtpu/native/fast_loader.cpp``) — the production feed path, the
+        TPU-host counterpart of the reference's DataLoader worker pool
+        (``datamodule.py:169-176``). Per-slot decode failures fall back to
+        :meth:`get`'s neighbor substitution; non-JPEG sources or a missing
+        toolchain fall back to the per-sample path wholesale."""
+        indices = [int(i) for i in indices]
+        if not self.use_native:
+            return [self.get(i) for i in indices]
+        blobs: list[bytes] = []
+        metas: list[tuple[int, dict | None]] = []
+        for i in indices:
+            try:
+                target = self._resolve_target(i)
+                path = str(target["img_path"])
+                if not path.lower().endswith((".jpg", ".jpeg")):
+                    return [self.get(j) for j in indices]
+                blobs.append(Path(path).read_bytes())
+                metas.append((i, target))
+            except Exception:
+                blobs.append(b"")
+                metas.append((i, None))
+        from fdtpu.native import decode_resize_batch
+
+        h, w = self.input_shape
+        imgs, dims, _ = decode_resize_batch(blobs, h, w)
+        out = []
+        for slot, (i, target) in enumerate(metas):
+            if target is None or dims[slot, 0] < 0:
+                self._log_failure(i)
+                out.append(self.get(i - 1 if i != 0 else i + 1, _depth=1))
+                continue
+            out.append(
+                self._finish_sample(
+                    imgs[slot], target["bbx"],
+                    int(dims[slot, 0]), int(dims[slot, 1]),
+                )
+            )
+        return out
 
 
 def rotate_image_and_boxes(arr: np.ndarray, boxes: np.ndarray, angle_deg: float):
@@ -189,6 +242,14 @@ class BatchLoader:
 
     ``epoch_fraction=4`` reproduces the SSD dataset's quarter-epoch
     ``__len__`` (``dataset_ssd.py:32-34``).
+
+    ``process_shard=(process_id, num_processes)`` is the multi-host feed:
+    every process derives the **same** global index order (seeded by epoch),
+    and each yields only its ``batch_size/num_processes`` slice of every
+    global batch — the standard JAX per-process-shard recipe, assembled into
+    global arrays by ``DevicePrefetcher``/``global_batch_from_local``.
+    Partial final batches are dropped in this mode (their split across
+    processes would be uneven).
     """
 
     def __init__(
@@ -200,6 +261,7 @@ class BatchLoader:
         drop_last: bool = False,
         epoch_fraction: int = 1,
         prefetch: int = 2,
+        process_shard: tuple[int, int] | None = None,
     ):
         self.source = source
         self.batch_size = batch_size
@@ -208,11 +270,24 @@ class BatchLoader:
         self.drop_last = drop_last
         self.epoch_fraction = epoch_fraction
         self.prefetch = prefetch
+        self.process_shard = process_shard
+        if process_shard is not None:
+            pid, n = process_shard
+            if not (0 <= pid < n):
+                raise ValueError(f"bad process_shard {process_shard}")
+            if batch_size % n:
+                raise ValueError(
+                    f"global batch_size {batch_size} not divisible by "
+                    f"{n} processes"
+                )
+            self._local_batch = batch_size // n
+        else:
+            self._local_batch = batch_size
         self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.source) // self.epoch_fraction
-        if self.drop_last:
+        if self.drop_last or self.process_shard is not None:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
@@ -226,13 +301,16 @@ class BatchLoader:
 
     def _make_batch(self, idx_chunk: np.ndarray) -> Batch:
         imgs, boxes, masks = [], [], []
-        for i in idx_chunk:
-            im, bx, mk = self.source.get(int(i))
+        if hasattr(self.source, "get_batch"):
+            samples = self.source.get_batch(idx_chunk)
+        else:
+            samples = [self.source.get(int(i)) for i in idx_chunk]
+        for im, bx, mk in samples:
             imgs.append(im)
             boxes.append(bx)
             masks.append(mk)
-        sample_mask = np.ones((self.batch_size,), dtype=bool)
-        pad = self.batch_size - len(imgs)
+        sample_mask = np.ones((self._local_batch,), dtype=bool)
+        pad = self._local_batch - len(imgs)
         if pad:
             sample_mask[len(imgs):] = False
             imgs += [imgs[-1]] * pad
@@ -252,7 +330,11 @@ class BatchLoader:
         chunks = [
             idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
         ]
-        if not self.drop_last and len(idx) % self.batch_size:
+        if self.process_shard is not None:
+            pid, _ = self.process_shard
+            lb = self._local_batch
+            chunks = [ch[pid * lb : (pid + 1) * lb] for ch in chunks]
+        elif not self.drop_last and len(idx) % self.batch_size:
             chunks.append(idx[nb * self.batch_size :])
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -303,13 +385,18 @@ class DevicePrefetcher:
         import jax
 
         if self.mesh is not None:
+            arrays = (batch.images, batch.boxes, batch.box_mask,
+                      batch.sample_mask)
+            if jax.process_count() > 1:
+                # multi-host: this process holds only its local slice of the
+                # global batch (BatchLoader process_shard); assemble global
+                # jax.Arrays across processes
+                from fdtpu.parallel.multihost import global_batch_from_local
+
+                return Batch(*global_batch_from_local(self.mesh, arrays))
             from fdtpu.parallel.mesh import shard_batch_arrays
 
-            images, boxes, box_mask, sample_mask = shard_batch_arrays(
-                self.mesh, batch.images, batch.boxes,
-                batch.box_mask, batch.sample_mask,
-            )
-            return Batch(images, boxes, box_mask, sample_mask)
+            return Batch(*shard_batch_arrays(self.mesh, *arrays))
         dev = self.device or jax.devices()[0]
         return Batch(
             images=jax.device_put(batch.images, dev),
