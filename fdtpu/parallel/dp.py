@@ -46,6 +46,8 @@ def make_dp_train_step(
     augment: bool = True,
     neg_pos_ratio: int = 10,
     spatial: bool = False,
+    compute_metrics: bool = False,
+    nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
 ):
     """GSPMD data-parallel step. Returned signature matches the single-device
     step: ``step(state, images, boxes, box_mask, sample_mask, rng)``.
@@ -58,6 +60,8 @@ def make_dp_train_step(
     step_fn = make_train_step(
         module, tx, config, augment=augment,
         neg_pos_ratio=neg_pos_ratio, jit=False,
+        compute_metrics=compute_metrics, nms_params=nms_params,
+        pallas_nms=False if compute_metrics else None,
     )
 
     rep = replicate(mesh)

@@ -58,6 +58,10 @@ class Trainer:
         self.state, self.tx = create_train_state(
             module, config, rng, steps_per_epoch=max(len(train_loader), 1)
         )
+        self._augment = augment
+        self._neg_pos_ratio = neg_pos_ratio
+        self._nms_params = nms_params
+        self._train_step_metrics = None  # built lazily (extra compile)
         self.mesh = None
         dp = config.data_parallel
         if dp is not None and dp != 0 and dp != 1:
@@ -96,6 +100,28 @@ class Trainer:
         self.epoch = 0
         self.profile_dir: str | None = None  # set to capture jax.profiler traces
 
+    def _metrics_train_step(self):
+        """Train step that also decodes predictions and computes detection
+        metrics (the reference's train-epoch iou/recall/precision/F1,
+        ``ModelMeta.py:258-287``) — used on the final batch of each epoch
+        only, so the per-epoch cost is one decode+NMS, not a per-step sync."""
+        if self._train_step_metrics is None:
+            if self.mesh is not None:
+                from fdtpu.parallel import make_dp_train_step
+
+                self._train_step_metrics = make_dp_train_step(
+                    self.module, self.tx, self.config, self.mesh,
+                    augment=self._augment, neg_pos_ratio=self._neg_pos_ratio,
+                    compute_metrics=True, nms_params=self._nms_params,
+                )
+            else:
+                self._train_step_metrics = make_train_step(
+                    self.module, self.tx, self.config, augment=self._augment,
+                    compute_metrics=True, nms_params=self._nms_params,
+                    neg_pos_ratio=self._neg_pos_ratio,
+                )
+        return self._train_step_metrics
+
     def profile(self, trace_dir: str = "profiles"):
         """Enable a jax.profiler trace of the next training epoch — the
         torchinfo/manual-FPS observability (SURVEY.md §5) upgraded to real
@@ -130,6 +156,8 @@ class Trainer:
 
     def _train_epoch_body(self) -> dict:
         losses = []
+        det_metrics: dict = {}
+        nb = len(self.train_loader)
         for bi, batch in enumerate(
             DevicePrefetcher(self.train_loader, mesh=self.mesh)
         ):
@@ -145,7 +173,12 @@ class Trainer:
                     mask=np.asarray(pred_mask[0]),
                     save_name=f"train_epoch_{self.epoch}",
                 )
-            self.state, scalars = self.train_step(
+            step = (
+                self._metrics_train_step()
+                if (self.config.train_metrics and bi == nb - 1)
+                else self.train_step
+            )
+            self.state, scalars = step(
                 self.state,
                 batch.images,
                 batch.boxes,
@@ -154,6 +187,10 @@ class Trainer:
                 self.rng,
             )
             losses.append(scalars["loss"])
+            if "iou" in scalars:
+                det_metrics = {
+                    k: scalars[k] for k in ("iou", "recall", "precision")
+                }
             # per-step progress line (the reference's step_loss prog-bar
             # logging, ModelMeta.py:226) — throttled so it doesn't force a
             # device sync every step
@@ -168,6 +205,11 @@ class Trainer:
                 )
         # one device sync per epoch, not per step
         metrics = {"loss": float(np.mean(jax.device_get(losses)))}
+        if det_metrics:
+            metrics.update(
+                {k: float(v) for k, v in jax.device_get(det_metrics).items()}
+            )
+            metrics["f1"] = f1_score(metrics["precision"], metrics["recall"])
         self.logger.log_epoch(self.epoch, "training", metrics)
         return metrics
 

@@ -159,6 +159,7 @@ def make_train_step(
     nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
     neg_pos_ratio: int = 10,
     jit: bool = True,
+    pallas_nms: bool | None = None,
 ) -> Callable:
     """Build the jitted training step.
 
@@ -198,7 +199,7 @@ def make_train_step(
         scalars = {"loss": loss_sum, "grad_norm": optax.global_norm(grads)}
         if compute_metrics:
             pred_boxes, pred_mask = _decode_predictions(
-                module, out, image_size, prob, iou_thr, capacity
+                module, out, image_size, prob, iou_thr, capacity, pallas_nms
             )
             scalars.update(
                 detection_metrics(pred_boxes, pred_mask, bx, bm, sample_mask)

@@ -79,6 +79,11 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     log_path: str = "logs/out.log"
     visualize_first_batch: bool = True  # ModelMeta.py:144-157
+    # Train-epoch detection metrics (iou/recall/precision/f1, the reference
+    # logs them for train epochs too, ModelMeta.py:258-287). Computed on the
+    # final batch of each epoch only — one decode+NMS per epoch instead of
+    # the reference's per-step python metric loop; no per-step sync.
+    train_metrics: bool = True
     nan_check: bool = False  # jax_debug_nans analogue of SSD.py:229-252 tripwires
     # Data parallelism: number of devices along the 'data' mesh axis
     # (None = all local devices).

@@ -184,6 +184,9 @@ def test_trainer_fit_and_resume(loaders, tmp_path):
     )
     out = trainer.fit()
     assert "loss" in out["train"] and np.isfinite(out["train"]["loss"])
+    # reference logs train-epoch detection metrics too (ModelMeta.py:258-287)
+    for k in ("iou", "recall", "precision", "f1"):
+        assert k in out["train"] and np.isfinite(out["train"][k])
     assert "recall" in out["val"]
     # resume restores step counter
     step_before = int(trainer.state.step)
