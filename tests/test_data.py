@@ -199,3 +199,33 @@ def test_augment_gate_probabilities():
     assert ratio.min() >= 0.74 and ratio.max() <= 1.36
     assert (np.asarray(cx)[fired] >= 0).all()
     assert (np.asarray(cx)[fired] + cw[fired] <= 320.01).all()
+
+
+def test_batch_loader_process_shard_partitions(data_dir):
+    """Multi-host feed recipe: per-process loaders with the same seed slice
+    each global batch disjointly and exhaustively."""
+    targets = load_targets(data_dir, "train", max_faces=3)
+    src = WIDERFaceDataSource(targets, (160, 160), box_capacity=4)
+
+    def collect(pid, n):
+        loader = BatchLoader(
+            src, batch_size=4, shuffle=True, seed=7, process_shard=(pid, n)
+        )
+        assert loader._local_batch == 4 // n
+        return list(loader)
+
+    full = BatchLoader(src, batch_size=4, shuffle=True, seed=7, drop_last=True)
+    full_batches = list(full)
+    parts = [collect(pid, 2) for pid in range(2)]
+    assert len(parts[0]) == len(parts[1]) == len(full_batches)
+    for fb, p0, p1 in zip(full_batches, parts[0], parts[1]):
+        recombined = np.concatenate([p0.images, p1.images])
+        np.testing.assert_array_equal(recombined, fb.images)
+        np.testing.assert_array_equal(
+            np.concatenate([p0.boxes, p1.boxes]), fb.boxes
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        BatchLoader(src, batch_size=5, process_shard=(0, 2))

@@ -46,6 +46,10 @@ def parse_args():
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax backend (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; use --platform cpu for host runs)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host pods/slices):"
+                        " each process feeds its shard of the global batch; "
+                        "implies --data-parallel -1 unless set")
     return p.parse_args()
 
 
@@ -65,6 +69,17 @@ def main():
 
     args = parse_args()
     apply_platform(args.platform)
+    process_shard = None
+    if args.multihost:
+        import jax
+
+        from fdtpu.parallel import initialize_multihost
+
+        initialize_multihost()
+        if args.data_parallel == 0:
+            args.data_parallel = -1  # the whole pod/slice
+        if jax.process_count() > 1:
+            process_shard = (jax.process_index(), jax.process_count())
     run_name = (
         f"{args.model}_{args.filters}_{args.patches}x{args.patches}_"
         f"{args.input}x{args.input}"
@@ -102,9 +117,10 @@ def main():
     )
     val_src = WIDERFaceDataSource(val_targets, shape, args.box_capacity)
     train_loader = BatchLoader(
-        train_src, args.batch_size, shuffle=True, seed=args.seed, drop_last=True
+        train_src, args.batch_size, shuffle=True, seed=args.seed,
+        drop_last=True, process_shard=process_shard,
     )
-    val_loader = BatchLoader(val_src, args.batch_size)
+    val_loader = BatchLoader(val_src, args.batch_size, process_shard=process_shard)
 
     module = build_model(args.model, model_cfg)
     trainer = Trainer(
