@@ -35,6 +35,9 @@ import numpy as np
 
 _LANES = 128
 _PAD = 1024  # 8 sublanes x 128 lanes (f32 tile)
+# VMEM budget for the nine (tile, N_pad) f32 planes of the batched kernel
+# (tests shrink this to force multi-tile execution on small shapes)
+_VMEM_PLANE_BUDGET = 6 * 1024 * 1024
 
 
 def pallas_nms_available() -> bool:
@@ -244,16 +247,25 @@ def _pallas_nms_batched(
     bsz, n = values.shape[0], values.shape[1]
     n_pad = -(-n // _LANES) * _LANES
 
+    # Batch-tile the grid so VMEM holds one tile of the nine (B, N_pad) f32
+    # planes, not all of them: SSD (4774 -> 4864 priors) at b128 would need
+    # ~22 MB resident otherwise (> v5e VMEM). Budget ~6 MB for the planes;
+    # the greedy loop's intermediates and the output tile take the rest.
+    tb = max(8, min(bsz, _VMEM_PLANE_BUDGET // (9 * n_pad * 4)))
+    b_pad = -(-bsz // tb) * tb
+
     def plane(v, fill=0.0):
         return jnp.pad(
-            v.astype(jnp.float32), ((0, 0), (0, n_pad - n)), constant_values=fill
+            v.astype(jnp.float32),
+            ((0, b_pad - bsz), (0, n_pad - n)),
+            constant_values=fill,
         )
 
     conf = plane(values[..., 0], fill=-1.0)
     planes = [conf] + [plane(values[..., i + 1]) for i in range(4)]
     planes += [
         jnp.broadcast_to(
-            jnp.pad(t.astype(jnp.float32), (0, n_pad - n)), (bsz, n_pad)
+            jnp.pad(t.astype(jnp.float32), (0, n_pad - n)), (b_pad, n_pad)
         )
         for t in tables
     ]
@@ -269,11 +281,18 @@ def _pallas_nms_batched(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bsz, capacity, 8), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(b_pad // tb,),
+        out_shape=jax.ShapeDtypeStruct((b_pad, capacity, 8), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((tb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 9,
+        out_specs=pl.BlockSpec(
+            (tb, capacity, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         interpret=interpret,
     )(*planes)
+    out = out[:bsz]
     boxes = out[..., 1:6]
     mask = out[..., 0] > 0.5
     return boxes, mask

@@ -122,3 +122,45 @@ def test_batched_kernel_matches_vmapped(rng):
         got = np.asarray(got_b[i])[np.asarray(got_m[i])]
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-5)
+
+
+def test_batched_kernel_grid_tiling_ssd_scale(rng, monkeypatch):
+    """SSD-scale prior count (4774 -> 4864 padded) with a batch that spans
+    several VMEM tiles (and a padded remainder tile): the grid-blocked
+    batched kernel must still match the per-image path exactly. The plane
+    budget is shrunk so tiling (tile=8, padded remainder) really engages."""
+    import fdtpu.kernels.nms_pallas as knms
+    from fdtpu.kernels import pallas_decode_filter_nms_batch
+
+    monkeypatch.setattr(knms, "_VMEM_PLANE_BUDGET", 9 * 5120 * 4 * 8)
+    ps = (60, 30, 15, 7)
+    n = sum(s * s for s in ps) + 265  # 4774 + filler -> exercises lane pad
+    b = 13  # -> tiles of 8, b_pad=16: grid of 2 with 3 padded rows
+    vals = rng.uniform(0, 0.45, size=(b, n, 5)).astype(np.float32)
+    for i in range(b):
+        for _ in range(5):
+            j = rng.integers(0, n)
+            vals[i, j] = [rng.uniform(0.5, 1.0), *rng.uniform(0.05, 0.6, size=4)]
+    tables = ssd_decode_tables(ps, IMG)
+    # pad tables to the filler length
+    sx, ox, sy, oy, ww, hh = tables
+    pad = n - sx.shape[0]
+    tables = (
+        np.pad(sx, (0, pad)), np.pad(ox, (0, pad)),
+        np.pad(sy, (0, pad)), np.pad(oy, (0, pad)), ww, hh,
+    )
+
+    got_b, got_m = pallas_decode_filter_nms_batch(
+        jnp.asarray(vals), tables, 0.5, 0.4, capacity=16
+    )
+    from fdtpu.kernels import pallas_decode_filter_nms
+
+    for i in range(b):
+        want_b, want_m = pallas_decode_filter_nms(
+            jnp.asarray(vals[i]), tables, 0.5, 0.4, capacity=16
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_b[i])[np.asarray(got_m[i])],
+            np.asarray(want_b)[np.asarray(want_m)],
+            atol=1e-3, rtol=1e-5,
+        )
