@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument("--prob-threshold", type=float, default=0.7)
     p.add_argument("--iou-threshold", type=float, default=0.01)
     p.add_argument("--camera", action="store_true", help="webcam loop (needs cv2)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax backend (axon ignores JAX_PLATFORMS)")
     return p.parse_args()
 
 
@@ -126,7 +128,10 @@ def main():
 
     enable_compilation_cache()
 
+    from train_model import apply_platform
+
     args = parse_args()
+    apply_platform(args.platform)
     det = build_detector(args)
     if args.camera:
         run_camera(det)

@@ -1,10 +1,12 @@
-"""Metric logging: console + append-only text log + JSONL.
+"""Metric logging: console + append-only text log + JSONL + TensorBoard.
 
 Reproduces the reference's observability surface (``/root/reference/models/
 ModelMeta.py:241-313``): per-epoch loss/IoU/recall/precision/F1 printed to the
-console and appended to a text log file (``logs/out_<name>.log``). TensorBoard
-isn't in this image; the structured equivalent is a JSONL stream next to the
-text log (one object per epoch) that any dashboard can tail.
+console, appended to a text log file (``logs/out_<name>.log``), streamed as
+JSONL (one object per epoch), and written as real TensorBoard scalar events
+(``<log dir>/tb/events.out.tfevents.*`` — the reference's ``self.log`` →
+TensorBoard path, ``ModelMeta.py:226,258-287``; encoder in
+``fdtpu/utils/tb.py``, no tensorboard package needed).
 """
 
 from __future__ import annotations
@@ -15,10 +17,16 @@ from pathlib import Path
 
 
 class MetricLogger:
-    def __init__(self, log_path: str | Path = "logs/out.log"):
+    def __init__(self, log_path: str | Path = "logs/out.log",
+                 tensorboard: bool = True):
         self.log_path = Path(log_path)
         self.log_path.parent.mkdir(parents=True, exist_ok=True)
         self.jsonl_path = self.log_path.with_suffix(".jsonl")
+        self._tb = None
+        if tensorboard:
+            from fdtpu.utils.tb import EventWriter
+
+            self._tb = EventWriter(self.log_path.parent / "tb")
 
     def log_epoch(self, epoch: int, split: str, metrics: dict) -> str:
         """Format + emit one epoch's metrics. Returns the formatted line."""
@@ -38,4 +46,10 @@ class MetricLogger:
                 **{k: float(v) for k, v in metrics.items()},
             }
             f.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            # epoch as the TensorBoard step; Lightning-style split/metric tags
+            self._tb.add_scalars(
+                epoch, {k: float(v) for k, v in metrics.items()},
+                prefix=f"{split}/",
+            )
         return line

@@ -56,7 +56,12 @@ def main():
                         "than unpruned on TPU)")
     p.add_argument("--batch", type=int, default=10)
     p.add_argument("--save", default=None, help="save pruned checkpoint here")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax backend (axon ignores JAX_PLATFORMS)")
     args = p.parse_args()
+    from train_model import apply_platform
+
+    apply_platform(args.platform)
 
     module = PoolResnet(
         filters=args.filters, input_shape=(args.input, args.input),

@@ -32,6 +32,8 @@ def parse_args():
     p.add_argument("--iou-threshold", type=float, default=0.01)
     p.add_argument("--max-images", type=int, default=0)
     p.add_argument("--with-ap", action="store_true", help="also compute AP@0.5")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax backend (axon ignores JAX_PLATFORMS)")
     return p.parse_args()
 
 
@@ -40,7 +42,10 @@ def main():
 
     enable_compilation_cache()
 
+    from train_model import apply_platform
+
     args = parse_args()
+    apply_platform(args.platform)
     cfg = DetectorConfig(
         filters=args.filters,
         input_shape=(args.input, args.input),
