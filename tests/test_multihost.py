@@ -1,0 +1,92 @@
+"""Real multi-process validation of the --multihost path: two OS processes
+coordinate through jax.distributed on localhost (CPU backend, 4 virtual
+devices each -> one global 8-device 'data' mesh), each feeds its
+process-shard of the global batch via BatchLoader(process_shard) +
+global_batch_from_local, and both run one GSPMD data-parallel train step.
+The per-process losses must agree (replicated outputs) and be finite."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import json, os, sys
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, root = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+assert jax.process_count() == 2
+assert jax.device_count() == 8
+
+import jax.numpy as jnp
+from fdtpu.data import BatchLoader, WIDERFaceDataSource, load_targets
+from fdtpu.data.pipeline import DevicePrefetcher
+from fdtpu.models import PoolResnet
+from fdtpu.parallel import make_dp_train_step, make_mesh
+from fdtpu.train import create_train_state
+from fdtpu.utils.config import TrainConfig
+
+targets = load_targets(root, "train", max_faces=3)
+src = WIDERFaceDataSource(targets, (160, 160), box_capacity=4, error_log=None)
+loader = BatchLoader(src, batch_size=8, shuffle=True, seed=3,
+                     process_shard=(pid, 2))
+module = PoolResnet(filters=8, input_shape=(160, 160), num_patches=10,
+                    num_residual_blocks=2, dtype=jnp.float32)
+config = TrainConfig(use_sam=False, optimizer="sgd", learning_rate=1e-3)
+state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 10)
+mesh = make_mesh(8)
+step = make_dp_train_step(module, tx, config, mesh, augment=False)
+batch = next(iter(DevicePrefetcher(loader, mesh=mesh)))
+assert batch.images.shape[0] == 8  # local (4,...) assembled to global batch
+state, scalars = step(state, batch.images, batch.boxes, batch.box_mask,
+                      batch.sample_mask, jax.random.PRNGKey(5))
+print("RESULT " + json.dumps({"pid": pid, "loss": float(scalars["loss"]),
+                              "step": int(state.step)}))
+"""
+
+
+def test_two_process_distributed_dp(tmp_path):
+    from fdtpu.data import make_synthetic_widerface
+
+    root = make_synthetic_widerface(tmp_path / "wider", num_images=8, max_faces=2)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parent.parent)
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid), str(root)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=390)[0] for p in procs]
+    results = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-3000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+        rec = json.loads(line[len("RESULT "):])
+        results[rec["pid"]] = rec
+    assert results[0]["step"] == results[1]["step"] == 1
+    assert np.isfinite(results[0]["loss"])
+    np.testing.assert_allclose(results[0]["loss"], results[1]["loss"], rtol=1e-6)
