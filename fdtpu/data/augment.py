@@ -245,6 +245,111 @@ def _sample_photometric_params(key, b):
     return scalars, seeds
 
 
+def _depthwise_filter_batch(imgs: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise-filter a ``(K, H, W, C)`` stack, one 2-D kernel per image
+    (``kernels`` is ``(K, kh, kw)`` or a shared ``(kh, kw)``), as a SINGLE
+    grouped convolution: the batch is folded into the channel dimension so
+    XLA sees one static conv with ``feature_group_count = K*C`` instead of a
+    vmapped loop of tiny convs."""
+    kb, h, w, c = imgs.shape
+    lhs = imgs.transpose(0, 3, 1, 2).reshape(1, kb * c, h, w)
+    if kernels.ndim == 2:
+        kernels = jnp.broadcast_to(kernels, (kb,) + kernels.shape)
+    rhs = jnp.repeat(kernels, c, axis=0)[:, None].astype(imgs.dtype)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding="SAME",
+        feature_group_count=kb * c,
+    )
+    return out.reshape(kb, c, h, w).transpose(0, 2, 3, 1)
+
+
+def _sample_photometric_params_exact_k(key, b):
+    """Exact-k variant of :func:`_sample_photometric_params`: the three
+    expensive gates (noise, glass, motion) select exactly ``round(p*B)``
+    batch members via a fresh permutation each — same marginal probability,
+    fixed per-batch count — so the applier can restrict the threefry noise
+    generation and the two depthwise convs to static-shape subsets.
+
+    Returns ``(scalars (B, 8), seeds, (noise_sel, glass_sel, motion_sel))``.
+    The scalar table encodes the same gates (sigma/glass/motion columns are
+    zero off-subset), so the Pallas kernel path can consume it unchanged.
+    """
+    ks = jax.random.split(key, 8)
+
+    def sel_k(kk, p):
+        n = max(1, round(p * b)) if b > 1 else 1
+        return jax.random.permutation(kk, b)[:n]
+
+    do_flip = jax.random.bernoulli(ks[0], P_FLIP, (b,)).astype(jnp.float32)
+    do_bc = jax.random.bernoulli(ks[1], P_BC, (b,))
+    alpha = jnp.where(
+        do_bc, 1.0 + jax.random.uniform(ks[2], (b,), minval=-0.2, maxval=0.2), 1.0
+    )
+    beta = jnp.where(
+        do_bc, jax.random.uniform(ks[3], (b,), minval=-0.2, maxval=0.2) * 255.0, 0.0
+    )
+    noise_sel = sel_k(ks[4], P_NOISE)
+    sigma = jnp.zeros((b,), jnp.float32).at[noise_sel].set(
+        jnp.sqrt(
+            jax.random.uniform(
+                jax.random.fold_in(ks[4], 1),
+                noise_sel.shape,
+                minval=10.0,
+                maxval=400.0,
+            )
+        )
+    )
+    glass_sel = sel_k(ks[5], P_GLASS)
+    glass = jnp.zeros((b,), jnp.float32).at[glass_sel].set(1.0)
+    motion_sel = sel_k(ks[6], P_MOTION)
+    motion = jnp.zeros((b,), jnp.float32).at[motion_sel].set(1.0)
+    mdir = jax.random.randint(ks[7], (b,), 0, 16).astype(jnp.float32)
+    scalars = jnp.stack(
+        [do_flip, alpha, beta, sigma, glass, motion, mdir, jnp.zeros((b,))],
+        axis=1,
+    )
+    seeds = jax.random.randint(
+        jax.random.fold_in(key, 11), (b * 3,), 0, 2**31 - 1, dtype=jnp.int32
+    )
+    return scalars, seeds, (noise_sel, glass_sel, motion_sel)
+
+
+def _apply_photometric_xla_subset(key, imgs, scalars, sels):
+    """Production batched photometric chain: flip + brightness/contrast run
+    whole-batch (bandwidth-trivial), while noise generation and the 5x5/7x7
+    depthwise blurs run only on their exact-k subsets from
+    :func:`_sample_photometric_params_exact_k` — gather subset, transform,
+    scatter back. Same op order as the reference chain
+    (``datamodule.py:105-125``): noise -> glass -> motion."""
+    noise_sel, glass_sel, motion_sel = sels
+    imgs = imgs.astype(jnp.bfloat16)
+    imgs = jnp.where(
+        scalars[:, 0, None, None, None] > 0.5, imgs[:, :, ::-1, :], imgs
+    )
+    imgs = imgs * scalars[:, 1, None, None, None].astype(
+        imgs.dtype
+    ) + scalars[:, 2, None, None, None].astype(imgs.dtype)
+
+    sub = imgs[noise_sel]
+    noise = jax.random.normal(key, sub.shape, dtype=imgs.dtype)
+    sigma = scalars[noise_sel, 3].astype(imgs.dtype)
+    imgs = imgs.at[noise_sel].set(sub + sigma[:, None, None, None] * noise)
+
+    imgs = imgs.at[glass_sel].set(
+        _depthwise_filter_batch(imgs[glass_sel], _gaussian_kernel5())
+    )
+
+    ang = (scalars[motion_sel, 6] + 0.5) * jnp.pi / 16.0
+    kerns = jax.vmap(_motion_kernel7)(ang)
+    imgs = imgs.at[motion_sel].set(
+        _depthwise_filter_batch(imgs[motion_sel], kerns)
+    )
+    # stay in bf16: the models cast their input to bf16 anyway, and the f32
+    # round-trip is a whole-batch HBM pass (the public jitted augment_batch
+    # restores the float32 API dtype for callers outside the train step)
+    return jnp.clip(imgs, 0.0, 255.0) / jnp.bfloat16(255.0)
+
+
 def _apply_photometric_xla(key, imgs, scalars):
     """XLA twin of the fused Pallas kernel (CPU fallback): same scalar table,
     threefry noise."""
@@ -288,35 +393,43 @@ def augment_batch_fast(key, imgs, boxes, masks):
     photometric chain's full-batch HBM passes (round-2 candidate: one fused
     Pallas augmentation kernel).
     """
+    import os
+
     b = imgs.shape[0]
     kperm, kcrop, kpost = jax.random.split(key, 3)
     k = max(1, round(P_CROP * b)) if b > 1 else 1
     perm = jax.random.permutation(kperm, b)
     sel = perm[:k]
 
-    imgs = imgs.astype(jnp.float32)
+    use_pallas = os.environ.get("FDTPU_PALLAS_AUGMENT") == "1"
+    # The batch lives in bf16 end to end (uint8 pixel range is exact in bf16;
+    # the model casts to bf16 anyway) — halves every full-batch HBM pass. The
+    # crop subset alone is resampled in f32: scale_and_translate's weights are
+    # computed at coordinate scale, where bf16 ulp (2.0 at 320) is visible.
+    # The Mosaic photometric kernel only rolls f32, so that path stays f32.
+    imgs = imgs.astype(jnp.float32 if use_pallas else jnp.bfloat16)
     h, w = imgs.shape[1], imgs.shape[2]
     crop_keys = jax.random.split(kcrop, k)
-    sub_i, sub_b, sub_m = imgs[sel], boxes[sel], masks[sel]
+    sub_i, sub_b, sub_m = imgs[sel].astype(jnp.float32), boxes[sel], masks[sel]
 
     def crop_one(ck, im, bx, mk):
         cx, cy, cw, ch = _sample_crop(jax.random.split(ck, 5), h, w, gate=False)
         return _apply_crop(im, bx, mk, cx, cy, cw, ch)
 
     ci, cb, cm = jax.vmap(crop_one)(crop_keys, sub_i, sub_b, sub_m)
-    imgs = imgs.at[sel].set(ci)
+    imgs = imgs.at[sel].set(ci.astype(imgs.dtype))
     boxes = boxes.at[sel].set(cb)
     masks = masks.at[sel].set(cm)
 
-    # photometric: shared scalar table. Default = the XLA bf16 chain, which
-    # measured FASTER end-to-end than the fused Pallas kernel (4677 vs 3844
-    # train img/s at b128/320px: Mosaic only rolls f32 and per-plane program
-    # overhead outweighs the saved HBM passes); the kernel stays available
-    # via FDTPU_PALLAS_AUGMENT=1 (fdtpu/kernels/augment_pallas.py).
-    import os
-
-    scalars, seeds = _sample_photometric_params(kpost, b)
-    use_pallas = os.environ.get("FDTPU_PALLAS_AUGMENT") == "1"
+    # photometric: shared scalar table with exact-k gates (noise and the two
+    # blurs run on ~p*B gather/scatter subsets — the whole-batch where-gated
+    # chain cost 30% of the train step at b128). Default = the XLA bf16
+    # chain, which measured FASTER end-to-end than the fused Pallas kernel
+    # (4677 vs 3844 train img/s at b128/320px: Mosaic only rolls f32 and
+    # per-plane program overhead outweighs the saved HBM passes); the kernel
+    # stays available via FDTPU_PALLAS_AUGMENT=1
+    # (fdtpu/kernels/augment_pallas.py).
+    scalars, seeds, sels = _sample_photometric_params_exact_k(kpost, b)
     if use_pallas:
         from fdtpu.kernels import pallas_nms_available
         from fdtpu.kernels.augment_pallas import pallas_photometric_batch
@@ -329,7 +442,9 @@ def augment_batch_fast(key, imgs, boxes, masks):
             imgs, scalars, seeds, not pallas_nms_available()
         )
     else:
-        imgs = _apply_photometric_xla(jax.random.fold_in(kpost, 3), imgs, scalars)
+        imgs = _apply_photometric_xla_subset(
+            jax.random.fold_in(kpost, 3), imgs, scalars, sels
+        )
     boxes = _flip_boxes(boxes, masks, scalars[:, 0], imgs.shape[2])
     boxes = jnp.concatenate(
         [boxes[..., :1], jnp.round(boxes[..., 1:])], axis=-1
@@ -339,8 +454,10 @@ def augment_batch_fast(key, imgs, boxes, masks):
 
 @jax.jit
 def augment_batch(key, imgs, boxes, masks):
-    """Jitted :func:`augment_batch_fast` over ``(B, H, W, 3)`` batches."""
-    return augment_batch_fast(key, imgs, boxes, masks)
+    """Jitted :func:`augment_batch_fast` over ``(B, H, W, 3)`` batches
+    (float32 images; the raw fast path may return bf16 for in-step fusion)."""
+    imgs, boxes, masks = augment_batch_fast(key, imgs, boxes, masks)
+    return imgs.astype(jnp.float32), boxes, masks
 
 
 @jax.jit

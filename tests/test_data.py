@@ -102,6 +102,50 @@ def test_augment_no_op_paths_keep_boxes(data_dir):
     assert float(out_img.max()) <= 1.0
 
 
+def test_photometric_subset_matches_whole_batch_twin():
+    """The exact-k subset applier must produce the same pixels as the
+    whole-batch where-gated twin given the SAME scalar table, when sigma=0
+    (noise threefry keys legitimately differ between the two paths)."""
+    from fdtpu.data.augment import (
+        _apply_photometric_xla,
+        _apply_photometric_xla_subset,
+        _sample_photometric_params_exact_k,
+    )
+
+    key = jax.random.PRNGKey(7)
+    imgs = jax.random.uniform(key, (16, 32, 32, 3), maxval=255.0)
+    scalars, _, sels = _sample_photometric_params_exact_k(
+        jax.random.PRNGKey(1), 16
+    )
+    scalars = scalars.at[:, 3].set(0.0)  # sigma=0: kill the noise term
+    got = _apply_photometric_xla_subset(jax.random.PRNGKey(2), imgs, scalars, sels)
+    want = _apply_photometric_xla(jax.random.PRNGKey(3), imgs, scalars)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_photometric_exact_k_gate_counts():
+    """Exact-k sampler: each expensive gate selects exactly round(p*B)
+    members, and the scalar table's gate columns agree with the index sets."""
+    from fdtpu.data.augment import (
+        P_GLASS,
+        P_MOTION,
+        P_NOISE,
+        _sample_photometric_params_exact_k,
+    )
+
+    b = 64
+    scalars, _, (nsel, gsel, msel) = _sample_photometric_params_exact_k(
+        jax.random.PRNGKey(0), b
+    )
+    sc = np.asarray(scalars)
+    assert nsel.shape == (round(P_NOISE * b),)
+    assert gsel.shape == (round(P_GLASS * b),)
+    assert msel.shape == (round(P_MOTION * b),)
+    assert (sc[np.asarray(nsel), 3] > 0).all() and np.count_nonzero(sc[:, 3]) == len(nsel)
+    assert set(np.flatnonzero(sc[:, 4] > 0.5)) == set(np.asarray(gsel).tolist())
+    assert set(np.flatnonzero(sc[:, 5] > 0.5)) == set(np.asarray(msel).tolist())
+
+
 def test_degenerate_box_fallback(tmp_path):
     root = make_synthetic_widerface(tmp_path, num_images=3)
     targets = parse_wider_annotations(root, "train")
