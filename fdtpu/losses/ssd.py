@@ -67,6 +67,7 @@ def ssd_loss(
     labels: jnp.ndarray,
     gt_locations: jnp.ndarray,
     neg_pos_ratio: float,
+    bg_push: float = 0.0,
 ) -> jnp.ndarray:
     """Batched SSD loss -> scalar.
 
@@ -76,6 +77,15 @@ def ssd_loss(
       labels: ``(B, N)`` target confidences (docked; positive where > 0).
       gt_locations: ``(B, N, 4)`` target locations.
       neg_pos_ratio: hard-negative ratio.
+      bg_push: opt-in quality extension (NOT in the reference, default off):
+        weight on the BCE of *unmined* negatives. Hard-negative mining gives
+        gradient to only ``neg_pos_ratio * num_pos`` background priors per
+        step, so with few faces per image most background scores never move
+        off their ~0.5 initialisation and flood the decode threshold —
+        measured precision 0.04 on synthetic convergence. A small uniform
+        push (e.g. 0.02) drives the untouched background down without
+        disturbing the mining distribution. Recorded in the README
+        faithful-vs-fixed ledger.
     """
     mining_loss = -jnp.log(jnp.clip(jax.lax.stop_gradient(confidence), _EPS, 1.0))
     mask = hard_negative_mining(mining_loss, labels, neg_pos_ratio)
@@ -84,6 +94,10 @@ def ssd_loss(
     bce_targets = jnp.round(labels)  # SSDLoss.py:73
     bce = -(bce_targets * jnp.log(conf) + (1.0 - bce_targets) * jnp.log(1.0 - conf))
     classification_loss = jnp.sum(jnp.where(mask, bce, 0.0))
+    if bg_push:
+        classification_loss = classification_loss + bg_push * jnp.sum(
+            jnp.where(mask, 0.0, bce)
+        )
 
     pos_mask = labels > 0
     loc_err = smooth_l1(predicted_locations - gt_locations)

@@ -48,6 +48,7 @@ def make_dp_train_step(
     spatial: bool = False,
     compute_metrics: bool = False,
     nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
+    bg_push: float = 0.0,
 ):
     """GSPMD data-parallel step. Returned signature matches the single-device
     step: ``step(state, images, boxes, box_mask, sample_mask, rng)``.
@@ -61,7 +62,7 @@ def make_dp_train_step(
         module, tx, config, augment=augment,
         neg_pos_ratio=neg_pos_ratio, jit=False,
         compute_metrics=compute_metrics, nms_params=nms_params,
-        pallas_nms=False if compute_metrics else None,
+        pallas_nms=False if compute_metrics else None, bg_push=bg_push,
     )
 
     rep = replicate(mesh)
@@ -89,6 +90,7 @@ def make_dp_eval_step(
     nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
     return_boxes: bool = False,
     neg_pos_ratio: int = 10,
+    bg_push: float = 0.0,
 ):
     """GSPMD data-parallel eval step — validation epochs scale with the same
     mesh as training. The decode+NMS path is forced to the pure-XLA twin
@@ -98,6 +100,7 @@ def make_dp_eval_step(
     step_fn = make_eval_step(
         module, config, nms_params=nms_params, return_boxes=return_boxes,
         neg_pos_ratio=neg_pos_ratio, jit=False, pallas_nms=False,
+        bg_push=bg_push,
     )
     rep = replicate(mesh)
     in_shardings = (

@@ -44,6 +44,7 @@ class Trainer:
         neg_pos_ratio: int = 10,
         nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
         run_name: str = "run",
+        bg_push: float = 0.0,
     ):
         self.module = module
         self.config = config
@@ -60,6 +61,7 @@ class Trainer:
         )
         self._augment = augment
         self._neg_pos_ratio = neg_pos_ratio
+        self._bg_push = bg_push
         self._nms_params = nms_params
         self._train_step_metrics = None  # built lazily (extra compile)
         self.mesh = None
@@ -80,21 +82,23 @@ class Trainer:
             self.mesh = make_mesh(n)
             self.train_step = make_dp_train_step(
                 module, self.tx, config, self.mesh, augment=augment,
-                neg_pos_ratio=neg_pos_ratio,
+                neg_pos_ratio=neg_pos_ratio, bg_push=bg_push,
             )
             self.eval_step = make_dp_eval_step(
                 module, config, self.mesh, nms_params=nms_params,
                 return_boxes=True, neg_pos_ratio=neg_pos_ratio,
+                bg_push=bg_push,
             )
         else:
             self.train_step = make_train_step(
                 module, self.tx, config, augment=augment,
                 compute_metrics=False, nms_params=nms_params,
-                neg_pos_ratio=neg_pos_ratio,
+                neg_pos_ratio=neg_pos_ratio, bg_push=bg_push,
             )
             self.eval_step = make_eval_step(
                 module, config, nms_params=nms_params, return_boxes=True,
                 neg_pos_ratio=neg_pos_ratio,  # keep train/val objectives aligned
+                bg_push=bg_push,
             )
         self.rng = jax.random.PRNGKey(config.seed + 1)
         self.epoch = 0
@@ -113,12 +117,13 @@ class Trainer:
                     self.module, self.tx, self.config, self.mesh,
                     augment=self._augment, neg_pos_ratio=self._neg_pos_ratio,
                     compute_metrics=True, nms_params=self._nms_params,
+                    bg_push=self._bg_push,
                 )
             else:
                 self._train_step_metrics = make_train_step(
                     self.module, self.tx, self.config, augment=self._augment,
                     compute_metrics=True, nms_params=self._nms_params,
-                    neg_pos_ratio=self._neg_pos_ratio,
+                    neg_pos_ratio=self._neg_pos_ratio, bg_push=self._bg_push,
                 )
         return self._train_step_metrics
 

@@ -111,7 +111,8 @@ def _decode_predictions(module, out, image_size, prob, iou, capacity,
 
 
 def _loss_and_out(module, params, batch_stats, images, enc, gt_locs,
-                  rng, train: bool, neg_pos_ratio: int, sample_mask=None):
+                  rng, train: bool, neg_pos_ratio: int, sample_mask=None,
+                  bg_push: float = 0.0):
     """-> (mean loss, (sum loss, model out, new batch_stats)).
 
     ``sample_mask`` excludes padded samples (the final partial batch repeats
@@ -139,7 +140,8 @@ def _loss_and_out(module, params, batch_stats, images, enc, gt_locs,
         # num_pos = 0) no mined negatives -> zero contribution
         enc = enc * sample_mask[:, None, None]
         loss_sum = ssd_loss(
-            out[..., 0], out[..., 1:5], enc[..., 0], gt_locs, neg_pos_ratio
+            out[..., 0], out[..., 1:5], enc[..., 0], gt_locs, neg_pos_ratio,
+            bg_push,
         )
         # ssd_loss is already /num_pos-normalized (SSDLoss.py:85-86); use as-is
         mean = loss_sum
@@ -160,6 +162,7 @@ def make_train_step(
     neg_pos_ratio: int = 10,
     jit: bool = True,
     pallas_nms: bool | None = None,
+    bg_push: float = 0.0,
 ) -> Callable:
     """Build the jitted training step.
 
@@ -178,7 +181,7 @@ def make_train_step(
 
         loss_fn = lambda p: _loss_and_out(
             module, p, state.batch_stats, imgs, enc, gt_locs,
-            drop_rng, True, neg_pos_ratio, sample_mask,
+            drop_rng, True, neg_pos_ratio, sample_mask, bg_push,
         )
         if config.use_sam:
             loss, aux, grads = sam_gradients(loss_fn, state.params, config.sam_rho)
@@ -217,6 +220,7 @@ def make_eval_step(
     neg_pos_ratio: int = 10,
     jit: bool = True,
     pallas_nms: bool | None = None,
+    bg_push: float = 0.0,
 ) -> Callable:
     """Build the jitted eval step (``validation_step``/``test_step``
     equivalent, ``ModelMeta.py:233-239``): loss + reference metrics, and
@@ -235,7 +239,7 @@ def make_eval_step(
         enc, gt_locs = _encode_targets(module, bx, bm, image_size)
         _, (loss_sum, out, _) = _loss_and_out(
             module, state.params, state.batch_stats, imgs, enc, gt_locs,
-            None, False, npr, sample_mask,
+            None, False, npr, sample_mask, bg_push,
         )
         pred_boxes, pred_mask = _decode_predictions(
             module, out, image_size, prob, iou_thr, capacity, pallas_nms

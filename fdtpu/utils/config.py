@@ -53,6 +53,9 @@ class SSDConfig:
     iou_threshold: float = 0.5
     nms_capacity: int = 128
     neg_pos_ratio: int = 10  # ModelMetaSSD.py:175
+    # Opt-in quality extension (not in the reference; see losses/ssd.py):
+    # weight on the BCE of unmined background priors. 0.0 = faithful.
+    bg_push: float = 0.0
     dtype: str = "bfloat16"
 
     @property

@@ -26,6 +26,12 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=70)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--neg-pos-ratio", type=int, default=10)
+    p.add_argument("--bg-push", type=float, default=0.0,
+                   help="opt-in quality extension (not in the reference): "
+                        "weight on the BCE of unmined background priors — "
+                        "drives untouched background scores below the decode "
+                        "threshold (multi-box-per-face precision fix); "
+                        "0.0 reproduces the reference loss exactly")
     p.add_argument("--no-sam", action="store_true")
     p.add_argument("--augment", action="store_true",
                    help="the reference SSD pipeline trains with Resize only "
@@ -57,6 +63,7 @@ def main():
         input_shape=(args.input, args.input),
         patch_sizes=ssd_patch_sizes((args.input, args.input)),
         neg_pos_ratio=args.neg_pos_ratio,
+        bg_push=args.bg_push,
     )
     train_cfg = TrainConfig(
         learning_rate=args.lr,
@@ -92,7 +99,7 @@ def main():
     trainer = Trainer(
         module, train_cfg, train_loader, val_loader,
         augment=args.augment, neg_pos_ratio=args.neg_pos_ratio,
-        run_name=run_name,
+        run_name=run_name, bg_push=args.bg_push,
     )
     if args.resume:
         trainer.maybe_resume()
