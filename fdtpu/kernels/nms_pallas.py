@@ -229,6 +229,21 @@ def _batched_nms_kernel(
     jax.lax.fori_loop(0, capacity, body, alive0)
 
 
+def _batch_tile(bsz: int, n_pad: int) -> int:
+    """Batch-tile size for the batched kernel's 1-D grid: VMEM holds one tile
+    of the nine (B, N_pad) f32 planes, not all of them — SSD (4774 -> 4864
+    priors) at b128 would need ~22 MB resident otherwise (> v5e VMEM).
+    Budget ~6 MB for the planes; the greedy loop's intermediates and the
+    output tile take the rest. Mosaic requires the block's sublane dim (the
+    batch tile) to be a multiple of 8 unless it equals the whole array dim,
+    so the tile rounds down to one (interpret-mode tests can't catch this —
+    lowering only runs on real TPU)."""
+    tb = min(bsz, _VMEM_PLANE_BUDGET // (9 * n_pad * 4))
+    if tb < bsz:
+        tb = tb // 8 * 8
+    return max(8, tb)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _pallas_nms_batched(
     values,  # (B, N, 5)
@@ -246,12 +261,7 @@ def _pallas_nms_batched(
 
     bsz, n = values.shape[0], values.shape[1]
     n_pad = -(-n // _LANES) * _LANES
-
-    # Batch-tile the grid so VMEM holds one tile of the nine (B, N_pad) f32
-    # planes, not all of them: SSD (4774 -> 4864 priors) at b128 would need
-    # ~22 MB resident otherwise (> v5e VMEM). Budget ~6 MB for the planes;
-    # the greedy loop's intermediates and the output tile take the rest.
-    tb = max(8, min(bsz, _VMEM_PLANE_BUDGET // (9 * n_pad * 4)))
+    tb = _batch_tile(bsz, n_pad)
     b_pad = -(-bsz // tb) * tb
 
     def plane(v, fill=0.0):

@@ -60,49 +60,68 @@ def main():
     ps = ssd_patch_sizes((args.size, args.size))
     n_priors = sum(p * p for p in ps)
     B = args.batch
-
-    rng = np.random.default_rng(0)
-    # raw SSD head output: sigmoid scores + cell-relative locations
-    out = np.zeros((B, n_priors, 5), np.float32)
-    out[..., 0] = rng.uniform(0, 1, (B, n_priors)) ** 4  # sparse-ish scores
-    out[..., 1:] = rng.uniform(0.2, 0.8, (B, n_priors, 4))
-    out = jnp.asarray(out)
     tables = ssd_output_decode_tables(n_priors, (args.size, args.size))
+    rng = np.random.default_rng(0)
 
-    def pallas_once(c):
-        b, m = pallas_decode_filter_nms_batch(
-            c, tables, 0.5, 0.5, args.capacity, interpret=False
-        )
-        return c + 1e-7 * b[0, 0, 0], jnp.sum(m)
-
-    def xla_once(c):
-        b, m = jax.vmap(
-            lambda o: ssd_output_filter_nms(
-                o, (args.size, args.size), 0.5, 0.5, args.capacity
+    def measure(out, label, results):
+        def pallas_once(c):
+            b, m = pallas_decode_filter_nms_batch(
+                c, tables, 0.5, 0.5, args.capacity, interpret=False
             )
-        )(c)
-        return c + 1e-7 * b[0, 0, 0], jnp.sum(m)
+            return c + 1e-7 * b[0, 0, 0], jnp.sum(m)
 
-    dt_p = time_scan(pallas_once, out, args.scan)
-    dt_x = time_scan(xla_once, out, args.scan)
+        def xla_once(c):
+            b, m = jax.vmap(
+                lambda o: ssd_output_filter_nms(
+                    o, (args.size, args.size), 0.5, 0.5, args.capacity
+                )
+            )(c)
+            return c + 1e-7 * b[0, 0, 0], jnp.sum(m)
 
-    # agreement check (bit-exactness is asserted in tests; sanity here)
-    bp, mp = pallas_decode_filter_nms_batch(out, tables, 0.5, 0.5, args.capacity)
-    bx, mx = jax.vmap(
-        lambda o: ssd_output_filter_nms(o, (args.size, args.size), 0.5, 0.5,
-                                        args.capacity)
-    )(out)
-    agree = bool(jnp.array_equal(mp, mx))
+        dt_p = time_scan(pallas_once, out, args.scan)
+        dt_x = time_scan(xla_once, out, args.scan)
+        bp, mp = pallas_decode_filter_nms_batch(out, tables, 0.5, 0.5,
+                                                args.capacity)
+        bx, mx = jax.vmap(
+            lambda o: ssd_output_filter_nms(o, (args.size, args.size), 0.5,
+                                            0.5, args.capacity)
+        )(out)
+        # compare the compacted kept rows (the XLA mask keeps holes over its
+        # score-sorted candidates; the kernel compacts winners)
+        bp, mp, bx, mx = map(np.asarray, (bp, mp, bx, mx))
+        agree = all(
+            bp[i][mp[i]].shape == bx[i][mx[i]].shape
+            and np.allclose(bp[i][mp[i]], bx[i][mx[i]], atol=1e-3)
+            for i in range(bp.shape[0])
+        )
+        results[f"{label}_pallas_ms"] = round(dt_p * 1e3, 3)
+        results[f"{label}_xla_ms"] = round(dt_x * 1e3, 3)
+        results[f"{label}_boxes_agree"] = agree
 
-    print(json.dumps({
-        "batch": B,
-        "priors": int(n_priors),
-        "pallas_ms_per_batch": round(dt_p * 1e3, 3),
-        "xla_ms_per_batch": round(dt_x * 1e3, 3),
-        "speedup_vs_xla": round(dt_x / dt_p, 2),
-        "masks_agree": agree,
-        "device": str(jax.devices()[0]),
-    }))
+    # Realistic workload: ~40 confident detections per image (< capacity),
+    # background below threshold. Both paths see the same candidate set and
+    # must agree exactly.
+    sparse = np.zeros((B, n_priors, 5), np.float32)
+    sparse[..., 0] = rng.uniform(0, 0.45, (B, n_priors))
+    sparse[..., 1:] = rng.uniform(0.2, 0.8, (B, n_priors, 4))
+    for i in range(B):
+        idx = rng.choice(n_priors, 40, replace=False)
+        sparse[i, idx, 0] = rng.uniform(0.5, 1.0, 40)
+
+    # Saturated workload: ~16% of priors above threshold (untrained model /
+    # dense crowd). Here the paths legitimately DIVERGE: the XLA twin
+    # truncates to the top-`capacity` scores before suppression (static-shape
+    # compromise, fdtpu/core/nms.py:46-48) while the Pallas kernel greedily
+    # scans ALL candidates — exact torchvision semantics under crowding.
+    dense = np.zeros((B, n_priors, 5), np.float32)
+    dense[..., 0] = rng.uniform(0, 1, (B, n_priors)) ** 4
+    dense[..., 1:] = rng.uniform(0.2, 0.8, (B, n_priors, 4))
+
+    results = {"batch": B, "priors": int(n_priors), "capacity": args.capacity}
+    measure(jnp.asarray(sparse), "sparse", results)
+    measure(jnp.asarray(dense), "saturated", results)
+    results["device"] = str(jax.devices()[0])
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -124,6 +124,27 @@ def test_batched_kernel_matches_vmapped(rng):
         np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-5)
 
 
+def test_batch_tile_mosaic_alignment():
+    """The batch tile must be a multiple of 8 (Mosaic sublane constraint)
+    whenever it's smaller than the whole batch — interpret-mode tests can't
+    catch a violation because Mosaic lowering only runs on real TPU. The
+    b128/4864-prior case is the exact shape that crashed on TPU (tile 35)."""
+    from fdtpu.kernels.nms_pallas import _VMEM_PLANE_BUDGET, _batch_tile
+
+    assert _batch_tile(128, 4864) == 32  # the SSD b128 crash shape
+    for bsz in (1, 8, 13, 24, 64, 128, 256):
+        for n_pad in (128, 256, 4864, 8192, 65536):
+            tb = _batch_tile(bsz, n_pad)
+            assert tb == bsz or tb % 8 == 0, (bsz, n_pad, tb)
+            assert tb >= min(bsz, 8) or tb == 8
+            # tile respects the plane budget whenever the budget allows any
+            # 8-row tile at all
+            if 9 * n_pad * 4 * 8 <= _VMEM_PLANE_BUDGET:
+                assert 9 * n_pad * 4 * tb <= max(
+                    _VMEM_PLANE_BUDGET, 9 * n_pad * 4 * 8
+                )
+
+
 def test_batched_kernel_grid_tiling_ssd_scale(rng, monkeypatch):
     """SSD-scale prior count (4774 -> 4864 padded) with a batch that spans
     several VMEM tiles (and a padded remainder tile): the grid-blocked
