@@ -403,21 +403,24 @@ def augment_batch_fast(key, imgs, boxes, masks):
 
     use_pallas = os.environ.get("FDTPU_PALLAS_AUGMENT") == "1"
     # The batch lives in bf16 end to end (uint8 pixel range is exact in bf16;
-    # the model casts to bf16 anyway) — halves every full-batch HBM pass. The
-    # crop subset alone is resampled in f32: scale_and_translate's weights are
-    # computed at coordinate scale, where bf16 ulp (2.0 at 320) is visible.
-    # The Mosaic photometric kernel only rolls f32, so that path stays f32.
+    # the model casts to bf16 anyway) — halves every full-batch HBM pass.
+    # The crop resample is geometry-exact in bf16 too: scale_and_translate
+    # computes its weight matrices in f32 and only casts the finished
+    # weights to the image dtype (jax _scale_and_translate), so bf16 costs
+    # ~0.4% on pixel blending, nothing on box coordinates (transformed
+    # separately in f32). The Mosaic photometric kernel only rolls f32, so
+    # that path stays f32.
     imgs = imgs.astype(jnp.float32 if use_pallas else jnp.bfloat16)
     h, w = imgs.shape[1], imgs.shape[2]
     crop_keys = jax.random.split(kcrop, k)
-    sub_i, sub_b, sub_m = imgs[sel].astype(jnp.float32), boxes[sel], masks[sel]
+    sub_i, sub_b, sub_m = imgs[sel], boxes[sel], masks[sel]
 
     def crop_one(ck, im, bx, mk):
         cx, cy, cw, ch = _sample_crop(jax.random.split(ck, 5), h, w, gate=False)
         return _apply_crop(im, bx, mk, cx, cy, cw, ch)
 
     ci, cb, cm = jax.vmap(crop_one)(crop_keys, sub_i, sub_b, sub_m)
-    imgs = imgs.at[sel].set(ci.astype(imgs.dtype))
+    imgs = imgs.at[sel].set(ci)
     boxes = boxes.at[sel].set(cb)
     masks = masks.at[sel].set(cm)
 
