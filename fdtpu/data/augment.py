@@ -273,12 +273,29 @@ def _sample_photometric_params_exact_k(key, b):
     Returns ``(scalars (B, 8), seeds, (noise_sel, glass_sel, motion_sel))``.
     The scalar table encodes the same gates (sigma/glass/motion columns are
     zero off-subset), so the Pallas kernel path can consume it unchanged.
+
+    The three subsets are disjoint slices of ONE shared permutation
+    (falling back to independent permutations when ``3k > B``): each
+    sample's marginal probability per op stays exactly ``p``, but the ops
+    become mutually exclusive within a step (the reference's independent
+    Bernoulli gates co-fire on ~4% of samples). Bought: the applier can
+    gather/scatter ONE ``3k``-row block instead of three, and run both
+    blurs as one grouped conv — measured ~1 ms/batch at b128/320px, where
+    TPU row gather/scatter dominated the photometric cost. Recorded in the
+    README faithful-vs-fixed ledger.
     """
     ks = jax.random.split(key, 8)
+    n = max(1, round(P_NOISE * b)) if b > 1 else 1
 
-    def sel_k(kk, p):
-        n = max(1, round(p * b)) if b > 1 else 1
-        return jax.random.permutation(kk, b)[:n]
+    if 3 * n <= b:
+        perm = jax.random.permutation(ks[4], b)
+        noise_sel, glass_sel, motion_sel = (
+            perm[:n], perm[n : 2 * n], perm[2 * n : 3 * n]
+        )
+    else:  # tiny batches: keep the independent exact-k permutations
+        noise_sel = jax.random.permutation(ks[4], b)[:n]
+        glass_sel = jax.random.permutation(ks[5], b)[:n]
+        motion_sel = jax.random.permutation(ks[6], b)[:n]
 
     do_flip = jax.random.bernoulli(ks[0], P_FLIP, (b,)).astype(jnp.float32)
     do_bc = jax.random.bernoulli(ks[1], P_BC, (b,))
@@ -288,7 +305,6 @@ def _sample_photometric_params_exact_k(key, b):
     beta = jnp.where(
         do_bc, jax.random.uniform(ks[3], (b,), minval=-0.2, maxval=0.2) * 255.0, 0.0
     )
-    noise_sel = sel_k(ks[4], P_NOISE)
     sigma = jnp.zeros((b,), jnp.float32).at[noise_sel].set(
         jnp.sqrt(
             jax.random.uniform(
@@ -299,9 +315,7 @@ def _sample_photometric_params_exact_k(key, b):
             )
         )
     )
-    glass_sel = sel_k(ks[5], P_GLASS)
     glass = jnp.zeros((b,), jnp.float32).at[glass_sel].set(1.0)
-    motion_sel = sel_k(ks[6], P_MOTION)
     motion = jnp.zeros((b,), jnp.float32).at[motion_sel].set(1.0)
     mdir = jax.random.randint(ks[7], (b,), 0, 16).astype(jnp.float32)
     scalars = jnp.stack(
@@ -318,10 +332,19 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels):
     """Production batched photometric chain: flip + brightness/contrast run
     whole-batch (bandwidth-trivial), while noise generation and the 5x5/7x7
     depthwise blurs run only on their exact-k subsets from
-    :func:`_sample_photometric_params_exact_k` — gather subset, transform,
-    scatter back. Same op order as the reference chain
-    (``datamodule.py:105-125``): noise -> glass -> motion."""
+    :func:`_sample_photometric_params_exact_k`.
+
+    When the subsets are disjoint (the shared-permutation case, ``3k <= B``)
+    the three ops commute, so the whole block moves as ONE gather + ONE
+    scatter and both blurs run as a single grouped conv with per-row
+    kernels (the 5x5 Gaussian zero-padded to 7x7 is tap-exact under SAME
+    padding). Noise uses the hardware ``rbg`` generator — threefry costs
+    ~0.6 ms/batch more on TPU for statistically equivalent augmentation
+    noise. Overlapping subsets (tiny batches) keep the sequential
+    reference order (``datamodule.py:105-125``): noise -> glass -> motion."""
     noise_sel, glass_sel, motion_sel = sels
+    b = imgs.shape[0]
+    n = noise_sel.shape[0]
     imgs = imgs.astype(jnp.bfloat16)
     imgs = jnp.where(
         scalars[:, 0, None, None, None] > 0.5, imgs[:, :, ::-1, :], imgs
@@ -330,20 +353,39 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels):
         imgs.dtype
     ) + scalars[:, 2, None, None, None].astype(imgs.dtype)
 
-    sub = imgs[noise_sel]
-    noise = jax.random.normal(key, sub.shape, dtype=imgs.dtype)
-    sigma = scalars[noise_sel, 3].astype(imgs.dtype)
-    imgs = imgs.at[noise_sel].set(sub + sigma[:, None, None, None] * noise)
+    def _noise_for(shape):
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        return jax.random.normal(
+            jax.random.key(seed, impl="rbg"), shape, dtype=imgs.dtype
+        )
 
-    imgs = imgs.at[glass_sel].set(
-        _depthwise_filter_batch(imgs[glass_sel], _gaussian_kernel5())
-    )
-
-    ang = (scalars[motion_sel, 6] + 0.5) * jnp.pi / 16.0
-    kerns = jax.vmap(_motion_kernel7)(ang)
-    imgs = imgs.at[motion_sel].set(
-        _depthwise_filter_batch(imgs[motion_sel], kerns)
-    )
+    if 3 * n <= b:  # disjoint slices of one permutation: fuse the movement
+        sel3 = jnp.concatenate([noise_sel, glass_sel, motion_sel])
+        sub = imgs[sel3]
+        sigma = scalars[noise_sel, 3].astype(imgs.dtype)
+        noised = sub[:n] + sigma[:, None, None, None] * _noise_for(sub[:n].shape)
+        g7 = jnp.zeros((7, 7), jnp.float32).at[1:6, 1:6].set(_gaussian_kernel5())
+        ang = (scalars[motion_sel, 6] + 0.5) * jnp.pi / 16.0
+        kerns = jnp.concatenate(
+            [jnp.broadcast_to(g7, (glass_sel.shape[0], 7, 7)),
+             jax.vmap(_motion_kernel7)(ang)]
+        )
+        blurred = _depthwise_filter_batch(sub[n:], kerns)
+        imgs = imgs.at[sel3].set(jnp.concatenate([noised, blurred]))
+    else:
+        sub = imgs[noise_sel]
+        sigma = scalars[noise_sel, 3].astype(imgs.dtype)
+        imgs = imgs.at[noise_sel].set(
+            sub + sigma[:, None, None, None] * _noise_for(sub.shape)
+        )
+        imgs = imgs.at[glass_sel].set(
+            _depthwise_filter_batch(imgs[glass_sel], _gaussian_kernel5())
+        )
+        ang = (scalars[motion_sel, 6] + 0.5) * jnp.pi / 16.0
+        kerns = jax.vmap(_motion_kernel7)(ang)
+        imgs = imgs.at[motion_sel].set(
+            _depthwise_filter_batch(imgs[motion_sel], kerns)
+        )
     # stay in bf16: the models cast their input to bf16 anyway, and the f32
     # round-trip is a whole-batch HBM pass (the public jitted augment_batch
     # restores the float32 API dtype for callers outside the train step)
