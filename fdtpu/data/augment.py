@@ -422,7 +422,7 @@ def _flip_boxes(boxes, masks, do_flip, w):
     )
 
 
-def augment_batch_fast(key, imgs, boxes, masks):
+def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False):
     """Batched augmentation with **exact-k subset cropping**: the crop
     resample is the pipeline's dominant cost (scale_and_translate over every
     image cost ~35%% of the whole SAM train step) but fires with p=0.2, so
@@ -434,6 +434,16 @@ def augment_batch_fast(key, imgs, boxes, masks):
     throughput at batch 128 — the remaining augmentation cost is the
     photometric chain's full-batch HBM passes (round-2 candidate: one fused
     Pallas augmentation kernel).
+
+    ``rotate=True`` additionally applies the reference's Rotate op (p=0.2,
+    limit 20 degrees, ``datamodule.py:115``) ON DEVICE via the three-shear
+    Pallas kernels (:mod:`fdtpu.kernels.rotate_pallas`) to an exact-k
+    subset drawn from its own permutation — use with
+    ``WIDERFaceDataSource(rotate_prob=0.0)`` so rotation isn't applied
+    twice. Chain order becomes crop -> rotate -> flip -> bc -> noise/blurs;
+    the reference rotates after flip+bc, but flip commutes with rotation in
+    distribution (the angle law is symmetric) and brightness/contrast is
+    pixelwise, so the sampled-image distribution is unchanged.
     """
     import os
 
@@ -465,6 +475,27 @@ def augment_batch_fast(key, imgs, boxes, masks):
     imgs = imgs.at[sel].set(ci)
     boxes = boxes.at[sel].set(cb)
     masks = masks.at[sel].set(cm)
+
+    if rotate:
+        from fdtpu.kernels import pallas_nms_available
+        from fdtpu.kernels.rotate_pallas import rotate_batch, rotate_boxes
+
+        krsel, kang = jax.random.split(jax.random.fold_in(key, 17))
+        rk = max(1, round(P_ROTATE * b)) if b > 1 else 1
+        rsel = jax.random.permutation(krsel, b)[:rk]
+        ang = jax.random.uniform(
+            kang, (rk,),
+            minval=-jnp.deg2rad(ROTATE_LIMIT_DEG),
+            maxval=jnp.deg2rad(ROTATE_LIMIT_DEG),
+        )
+        rot = rotate_batch(
+            imgs[rsel].astype(jnp.float32), ang,
+            interpret=not pallas_nms_available(),
+        )
+        rb, rm = rotate_boxes(boxes[rsel], masks[rsel], ang, w)
+        imgs = imgs.at[rsel].set(rot.astype(imgs.dtype))
+        boxes = boxes.at[rsel].set(rb)
+        masks = masks.at[rsel].set(rm)
 
     # photometric: shared scalar table with exact-k gates (noise and the two
     # blurs run on ~p*B gather/scatter subsets — the whole-batch where-gated

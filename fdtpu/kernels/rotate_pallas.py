@@ -1,0 +1,188 @@
+"""On-device image rotation as three Pallas shear kernels (the Rotate op).
+
+The reference rotates on the host through Albumentations/OpenCV
+(``/root/reference/datasets/WIDERFace/datamodule.py:115``, p=0.2, limit 20
+degrees); fdtpu round 1 kept rotation host-side after measuring two TPU
+pathologies (BASELINE.md): ``map_coordinates`` gathers (1249 ms / 64x320
+batch) and dynamic-weight einsum warps (200-600 s Mosaic compiles). This
+module is the round-2 stretch (VERDICT item 10): a gather-free,
+einsum-free device rotation built from the Paeth three-shear decomposition
+
+    R(a) = ShearX(-tan(a/2)) . ShearY(sin a) . ShearX(-tan(a/2))
+
+where each shear only ever moves pixels ALONG one axis by a per-row
+fractional offset. A shear pass is a Pallas kernel over 8-row bands: the
+offset ``t = k * (row - center)`` varies by at most ``7*|k| < 2.4`` pixels
+inside a band, so each output band is a weighted sum of J in {4, 5}
+contiguous dynamic lane-slices of the input plane — no gathers, no
+scatters, no data-dependent shapes. The vertical shear runs on the
+transposed plane so it is also a lane shift.
+
+Layout: the three channels are stacked on the sublane axis
+(``(3*Hp, Wp)`` per image) so one band pass moves all channels; planes
+carry ``G`` guard lanes on each side so shifted windows never slip out of
+bounds (reads that would are clamped by ``pl.ds`` and land only in
+reflect-padding regions that the final crop discards — padding >= the
+worst-case 20-degree displacement by construction).
+
+Matches the host path's geometry exactly (rotation about
+``((S-1)/2, (S-1)/2)``, reflect-101 borders via the same pre-pad) with a
+separable instead of joint bilinear filter — identical on locally linear
+content, slightly softer on diagonal high frequencies.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROTATE_LIMIT_RAD = math.radians(20.0) + 1e-3  # datamodule.py:115 limit=20
+
+
+def _pad_for(size: int) -> int:
+    """Reflect-pad margin: covers the worst 20-degree displacement of any
+    pixel the final crop keeps (<= 2*tan(10)*0.5*(S+2*PAD) horizontally,
+    <= sin(20)*0.5*(S+2*PAD) vertically), rounded to the 8-sublane band."""
+    pad = 8 * math.ceil(0.30 * size / 8)
+    return max(pad, 16)
+
+
+def _shear_kernel(k_ref, in_ref, out_ref, *, j_slices, lanes, row_mod,
+                  row_center):
+    """One 8-row output band of ``out[r, l] = in[r, l + t(r)]`` with linear
+    interpolation, ``t(r) = k * ((r % row_mod) - row_center)``.
+
+    The band is loaded once at its static offset and the per-band integer
+    shifts are realized with ``pltpu.roll`` (Mosaic's dynamic lane rotate —
+    dynamically-offset vector loads are rejected: "cannot statically prove
+    index is a multiple of 128", found on real TPU). Wrap-around garbage
+    lands only in guard lanes the final crop never reads (guards exceed the
+    worst-case 20-degree shift).
+
+    The shift is normalized to ``[0, lanes)``: Mosaic miscompiles NEGATIVE
+    dynamic shifts when the lane count is not a power of two (measured on
+    v5e: ``roll((8,384), -1)`` returns ``x[l+129]`` — the borrow uses the
+    padded 512-lane register width). ``mod`` is semantically free since
+    roll is modular."""
+    band = pl.program_id(1)
+    r0 = band * 8
+    k = k_ref[pl.program_id(0), 0]
+    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    if row_mod:
+        rows = rows % row_mod
+    t = k * (rows.astype(jnp.float32) - row_center)
+    n = jnp.floor(t)
+    f = (t - n).astype(in_ref.dtype)
+    n0 = jnp.min(n).astype(jnp.int32)
+    d = n.astype(jnp.int32) - n0
+
+    src = in_ref[0, pl.ds(r0, 8), :]
+    acc = jnp.zeros((8, lanes), in_ref.dtype)
+    for j in range(j_slices):
+        s_j = pltpu.roll(src, jnp.mod(-(n0 + j), lanes), axis=1)
+        c_j = jnp.where(d == j, 1.0 - f, 0.0) + jnp.where(d == j - 1, f, 0.0)
+        acc = acc + c_j * s_j
+    out_ref[0, :, :] = acc
+
+
+def _shear(planes, k, *, j_slices, row_mod, row_center, interpret=False):
+    """Apply the banded shear kernel to ``(K, R, L)`` guarded planes with
+    per-image coefficients ``k`` of shape ``(K,)``."""
+    kk, r, l = planes.shape
+    assert r % 8 == 0, r
+    assert l % 128 == 0, l  # pltpu.roll needs full lane tiles
+    kernel = functools.partial(
+        _shear_kernel,
+        j_slices=j_slices,
+        lanes=l,
+        row_mod=row_mod,
+        row_center=row_center,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(kk, r // 8),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (K, 1) coefficients
+            pl.BlockSpec((1, r, l), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, l), lambda i, b: (i, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kk, r, l), planes.dtype),
+        interpret=interpret,
+    )(k.astype(jnp.float32).reshape(kk, 1), planes)
+
+
+def rotate_batch(imgs, angles, *, interpret=False):
+    """Rotate ``(K, S, S, C)`` images by ``angles`` radians (counterclockwise,
+    the host path's ``rotate_image_and_boxes`` convention) about the image
+    center with reflect-101 borders. float32 in/out, pixel-range values.
+
+    |angle| must be <= ~20 degrees (the reference's Rotate limit): the
+    guard/pad geometry is sized for it.
+    """
+    kk, s, s2, c = imgs.shape
+    assert s == s2, (s, s2)
+    assert s % 8 == 0, s
+    pad = _pad_for(s)
+    hp = s + 2 * pad
+    cy = pad + (s - 1) / 2.0
+    # lane guards sized so every plane's lane count is a multiple of 128
+    # (pltpu.roll wants whole lane tiles) and >= the reflect margin
+    g1 = pad + ((128 - (hp + 2 * pad) % 128) % 128) // 2
+    g2 = pad + ((128 - (c * hp + 2 * pad) % 128) % 128) // 2
+
+    x = imgs.astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    # channels onto sublanes: (K, Hp, Wp, C) -> (K, C*Hp, Wp), plus guards
+    x = x.transpose(0, 3, 1, 2).reshape(kk, c * hp, hp)
+    x = jnp.pad(x, ((0, 0), (0, 0), (g1, g1)))
+
+    k1 = -jnp.tan(angles / 2.0)
+    k2 = jnp.sin(angles)
+
+    p1 = _shear(x, k1, j_slices=4, row_mod=hp, row_center=cy,
+                interpret=interpret)
+    # vertical shear on the transpose (rows=x, lanes=stacked y + guards)
+    t1 = jnp.pad(jnp.swapaxes(p1, 1, 2), ((0, 0), (0, 0), (g2, g2)))
+    t2 = _shear(t1, k2, j_slices=5, row_mod=0, row_center=g1 + cy,
+                interpret=interpret)
+    # back: rows=stacked y, lanes = T2's rows = x (already guarded)
+    p2 = jnp.swapaxes(t2[:, :, g2 : g2 + c * hp], 1, 2)
+    p3 = _shear(p2, k1, j_slices=4, row_mod=hp, row_center=cy,
+                interpret=interpret)
+
+    out = p3.reshape(kk, c, hp, hp + 2 * g1)[
+        :, :, pad : pad + s, g1 + pad : g1 + pad + s
+    ]
+    return out.transpose(0, 2, 3, 1)
+
+
+def rotate_boxes(boxes, masks, angles, size):
+    """Transform padded cxywh boxes under the same rotation: corner rotation
+    -> AABB -> clip -> min-area mask, mirroring the host path's numpy math
+    (``fdtpu/data/pipeline.py:rotate_image_and_boxes``, Albumentations bbox
+    semantics / reference ``datamodule.py:121`` min_area)."""
+    h = w = float(size)
+    a = angles[:, None]
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    x, y = boxes[..., 1], boxes[..., 2]
+    bw, bh = boxes[..., 3], boxes[..., 4]
+    corners_x = jnp.stack([x, x + bw, x, x + bw], -1) - cx
+    corners_y = jnp.stack([y, y, y + bh, y + bh], -1) - cy
+    rx = cos[..., None] * corners_x + sin[..., None] * corners_y + cx
+    ry = -sin[..., None] * corners_x + cos[..., None] * corners_y + cy
+    x0 = jnp.clip(rx.min(-1), 0, w)
+    x1 = jnp.clip(rx.max(-1), 0, w)
+    y0 = jnp.clip(ry.min(-1), 0, h)
+    y1 = jnp.clip(ry.max(-1), 0, h)
+    nw, nh = x1 - x0, y1 - y0
+    out = jnp.stack([boxes[..., 0], x0, y0, nw, nh], axis=-1)
+    masks = masks & (nw * nh >= 10.0) & (nw > 0) & (nh > 0)
+    return out, masks

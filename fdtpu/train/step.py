@@ -49,10 +49,11 @@ from fdtpu.train.state import TrainState
 from fdtpu.utils.config import TrainConfig
 
 
-def _prepare_inputs(images, boxes, box_mask, rng, augment: bool):
+def _prepare_inputs(images, boxes, box_mask, rng, augment: bool,
+                    rotate: bool = False):
     """uint8 batch -> float [0,1] batch (+ augmented boxes)."""
     if augment:
-        return augment_batch_fast(rng, images, boxes, box_mask)
+        return augment_batch_fast(rng, images, boxes, box_mask, rotate=rotate)
     imgs = images.astype(jnp.float32) / 255.0
     return imgs, boxes, box_mask & (boxes[..., 3] * boxes[..., 4] >= 10.0)
 
@@ -176,7 +177,10 @@ def make_train_step(
 
     def step_fn(state: TrainState, images, boxes, box_mask, sample_mask, rng):
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
-        imgs, bx, bm = _prepare_inputs(images, boxes, box_mask, aug_rng, augment)
+        imgs, bx, bm = _prepare_inputs(
+            images, boxes, box_mask, aug_rng, augment,
+            rotate=config.rotate_device,
+        )
         enc, gt_locs = _encode_targets(module, bx, bm, image_size)
 
         loss_fn = lambda p: _loss_and_out(

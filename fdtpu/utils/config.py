@@ -91,3 +91,8 @@ class TrainConfig:
     # Data parallelism: number of devices along the 'data' mesh axis
     # (None = all local devices).
     data_parallel: int | None = None
+    # Apply the Rotate augmentation on device (three-shear Pallas kernels,
+    # fdtpu/kernels/rotate_pallas.py) instead of host-side PIL at decode
+    # time. Frees the single host core for JPEG decode on real datasets;
+    # pair with WIDERFaceDataSource(rotate_prob=0.0).
+    rotate_device: bool = False

@@ -1,0 +1,105 @@
+"""Device rotation (three-shear Pallas kernels) vs the host PIL path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fdtpu.kernels.rotate_pallas import rotate_batch, rotate_boxes
+from fdtpu.data.pipeline import rotate_image_and_boxes
+
+
+def _smooth_image(s):
+    """Smooth content: interpolation filters agree on locally-linear data."""
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    img = (
+        120 + 60 * np.sin(xx / 37.0) + 50 * np.cos(yy / 29.0)
+        + 0.15 * xx + 0.1 * yy
+    )
+    rgb = np.stack([img, img * 0.8 + 20, 255 - img], axis=-1)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def test_rotate_zero_is_identity():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    out = rotate_batch(jnp.asarray(imgs), jnp.zeros((2,)), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), imgs, atol=1e-4)
+
+
+@pytest.mark.parametrize("angle_deg", [12.0, -17.5])
+def test_rotate_matches_host_pil(angle_deg):
+    img = _smooth_image(160)
+    out = rotate_batch(
+        jnp.asarray(img[None], jnp.float32),
+        jnp.asarray([np.deg2rad(angle_deg)], jnp.float32),
+        interpret=True,
+    )
+    want, _ = rotate_image_and_boxes(img, np.zeros((0, 5), np.float32),
+                                     angle_deg)
+    got = np.asarray(out)[0]
+    inner = slice(20, 140)
+    diff = np.abs(got[inner, inner] - want[inner, inner].astype(np.float32))
+    assert diff.mean() < 1.5, diff.mean()
+    assert np.percentile(diff, 99) < 8.0, np.percentile(diff, 99)
+
+
+def test_rotate_roundtrip():
+    img = _smooth_image(160).astype(np.float32)
+    a = np.deg2rad(15.0)
+    one = rotate_batch(jnp.asarray(img[None]), jnp.asarray([a]),
+                       interpret=True)
+    back = rotate_batch(one, jnp.asarray([-a]), interpret=True)
+    inner = slice(40, 120)
+    diff = np.abs(np.asarray(back)[0][inner, inner] - img[inner, inner])
+    assert diff.mean() < 2.0, diff.mean()
+
+
+def test_augment_batch_with_device_rotation():
+    """augment_batch_fast(rotate=True) produces a valid batch: shapes
+    preserved, pixels in [0,1], boxes stay inside the image, and exactly
+    round(p*B) members differ from the rotation-free pipeline by more than
+    photometric ops can explain is NOT asserted (subsets overlap) — instead
+    the call is checked end-to-end for finiteness and box sanity."""
+    from fdtpu.data.augment import augment_batch_fast
+
+    rng = np.random.default_rng(3)
+    b, s = 8, 64
+    imgs = jnp.asarray(rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8))
+    boxes = np.zeros((b, 4, 5), np.float32)
+    boxes[:, 0] = [1.0, 12, 16, 24, 20]
+    masks = np.tile([True, False, False, False], (b, 1))
+    out_i, out_b, out_m = jax.jit(
+        lambda k, i, bx, m: augment_batch_fast(k, i, bx, m, rotate=True)
+    )(jax.random.PRNGKey(0), imgs, jnp.asarray(boxes), jnp.asarray(masks))
+    assert out_i.shape == (b, s, s, 3)
+    arr = np.asarray(out_i, np.float32)
+    assert np.isfinite(arr).all()
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    ob, om = np.asarray(out_b), np.asarray(out_m)
+    valid = ob[om]
+    assert (valid[:, 1] >= 0).all() and (valid[:, 2] >= 0).all()
+    assert (valid[:, 1] + valid[:, 3] <= s).all()
+    assert (valid[:, 2] + valid[:, 4] <= s).all()
+
+
+def test_rotate_boxes_matches_host_math():
+    rng = np.random.default_rng(1)
+    boxes = np.zeros((1, 6, 5), np.float32)
+    boxes[0, :, 0] = 1.0
+    boxes[0, :, 1] = rng.uniform(10, 200, 6)
+    boxes[0, :, 2] = rng.uniform(10, 200, 6)
+    boxes[0, :, 3] = rng.uniform(8, 80, 6)
+    boxes[0, :, 4] = rng.uniform(8, 80, 6)
+    masks = np.ones((1, 6), bool)
+    angle = -13.0
+    got_b, got_m = rotate_boxes(
+        jnp.asarray(boxes), jnp.asarray(masks),
+        jnp.asarray([np.deg2rad(angle)], jnp.float32), 320,
+    )
+    img = np.zeros((320, 320, 3), np.uint8)
+    _, want = rotate_image_and_boxes(img, boxes[0], angle)
+    got = np.asarray(got_b)[0][np.asarray(got_m)[0]]
+    # host path rounds + filters; compare the surviving set pre-rounding
+    assert got.shape[0] == want.shape[0]
+    np.testing.assert_allclose(np.round(got[:, 1:]), want[:, 1:], atol=1.0)

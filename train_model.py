@@ -40,6 +40,10 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-train-images", type=int, default=0,
                    help="subset for quick runs (0 = all)")
+    p.add_argument("--rotate-device", action="store_true",
+                   help="run the Rotate augmentation on device (three-shear "
+                        "Pallas kernels) instead of host-side PIL — frees "
+                        "the host core for JPEG decode on real datasets")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="devices on the 'data' mesh axis (0 = single device, "
                         "-1 = all visible devices); batch size must divide")
@@ -100,6 +104,7 @@ def main():
         log_path=f"logs/out_{run_name}.log",
         checkpoint_dir="checkpoints",
         data_parallel=args.data_parallel,
+        rotate_device=args.rotate_device,
     )
 
     download_dataset_files(args.data_dir)
@@ -112,7 +117,7 @@ def main():
     shape = model_cfg.input_shape
     train_src = WIDERFaceDataSource(
         train_targets, shape, args.box_capacity,
-        rotate_prob=0.0 if args.no_augment else 0.2,  # host-side Rotate(20)
+        rotate_prob=0.0 if (args.no_augment or args.rotate_device) else 0.2,
         seed=args.seed,
     )
     val_src = WIDERFaceDataSource(val_targets, shape, args.box_capacity)
