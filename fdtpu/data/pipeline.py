@@ -55,10 +55,22 @@ class WIDERFaceDataSource:
         rotate_prob: float = 0.0,
         rotate_limit: float = 20.0,
         seed: int = 0,
+        cache_decoded: bool = True,
     ):
         self.targets = targets
         self.input_shape = input_shape  # (height, width)
         self.box_capacity = box_capacity
+        # Decoded-frame RAM cache. The reference re-decodes every epoch
+        # across a DataLoader worker pool (datamodule.py:169-176); this host
+        # has ONE core, and decode+resize is deterministic (the random ops —
+        # rotation, device augmentation — all run after it), so epochs >= 2
+        # read resized uint8 frames from a preallocated array instead
+        # (WIDERFace at 480px is ~9 GB of a 125 GB host). Measured: 213 ->
+        # thousands img/s host feed at 320px. ``cache_decoded=False``
+        # restores the re-decode-every-epoch behavior.
+        self.cache_decoded = cache_decoded
+        self._cache_imgs: np.ndarray | None = None
+        self._cache_meta: dict[int, tuple[np.ndarray, int, int]] = {}
         self.error_log = error_log
         # Host-side Rotate(p=0.2, limit=20) from the reference train pipeline
         # (datamodule.py:115) — rotation resampling is hostile to TPU
@@ -133,6 +145,17 @@ class WIDERFaceDataSource:
             with open(self.error_log, "a") as f:
                 f.write(f"{index}, {self.targets[index].get('img_path')}\n")
 
+    def _cache_store(self, index: int, arr: np.ndarray, w0: int, h0: int):
+        if not self.cache_decoded:
+            return
+        if self._cache_imgs is None:
+            h, w = self.input_shape
+            self._cache_imgs = np.zeros(
+                (len(self.targets), h, w, 3), np.uint8
+            )
+        self._cache_imgs[index] = arr
+        self._cache_meta[index] = (w0, h0)
+
     def get(self, index: int, _depth: int = 0):
         """-> (image uint8 (H, W, 3), boxes (K, 5), mask (K,))."""
         if _depth > 3:
@@ -141,7 +164,13 @@ class WIDERFaceDataSource:
             raise RuntimeError(f"sample {index} and its neighbors failed to load")
         try:
             target = self._resolve_target(index)
+            if self.cache_decoded and index in self._cache_meta:
+                w0, h0 = self._cache_meta[index]
+                return self._finish_sample(
+                    self._cache_imgs[index], target["bbx"], w0, h0
+                )
             arr, (w0, h0) = self._decode(target["img_path"])
+            self._cache_store(index, arr, w0, h0)
             return self._finish_sample(arr, target["bbx"], w0, h0)
         except Exception:
             # dataset.py:148-150: log and substitute the neighbor sample
@@ -154,20 +183,41 @@ class WIDERFaceDataSource:
         """Batched decode through the threaded C++ loader
         (``fdtpu/native/fast_loader.cpp``) — the production feed path, the
         TPU-host counterpart of the reference's DataLoader worker pool
-        (``datamodule.py:169-176``). Per-slot decode failures fall back to
+        (``datamodule.py:169-176``). Decoded frames come from the RAM cache
+        when present (epochs >= 2); per-slot decode failures fall back to
         :meth:`get`'s neighbor substitution; non-JPEG sources or a missing
         toolchain fall back to the per-sample path wholesale."""
         indices = [int(i) for i in indices]
         if not self.use_native:
             return [self.get(i) for i in indices]
+        out: list = [None] * len(indices)
+        miss: list[int] = []
+        for pos, i in enumerate(indices):
+            if self.cache_decoded and i in self._cache_meta:
+                try:
+                    target = self._resolve_target(i)
+                    w0, h0 = self._cache_meta[i]
+                    out[pos] = self._finish_sample(
+                        self._cache_imgs[i], target["bbx"], w0, h0
+                    )
+                    continue
+                except Exception:
+                    pass
+            miss.append(pos)
+        if not miss:
+            return out
+
         blobs: list[bytes] = []
         metas: list[tuple[int, dict | None]] = []
-        for i in indices:
+        for pos in miss:
+            i = indices[pos]
             try:
                 target = self._resolve_target(i)
                 path = str(target["img_path"])
                 if not path.lower().endswith((".jpg", ".jpeg")):
-                    return [self.get(j) for j in indices]
+                    for p in miss:
+                        out[p] = self.get(indices[p])
+                    return out
                 blobs.append(Path(path).read_bytes())
                 metas.append((i, target))
             except Exception:
@@ -177,18 +227,15 @@ class WIDERFaceDataSource:
 
         h, w = self.input_shape
         imgs, dims, _ = decode_resize_batch(blobs, h, w)
-        out = []
-        for slot, (i, target) in enumerate(metas):
+        for slot, pos in enumerate(miss):
+            i, target = metas[slot]
             if target is None or dims[slot, 0] < 0:
                 self._log_failure(i)
-                out.append(self.get(i - 1 if i != 0 else i + 1, _depth=1))
+                out[pos] = self.get(i - 1 if i != 0 else i + 1, _depth=1)
                 continue
-            out.append(
-                self._finish_sample(
-                    imgs[slot], target["bbx"],
-                    int(dims[slot, 0]), int(dims[slot, 1]),
-                )
-            )
+            w0, h0 = int(dims[slot, 0]), int(dims[slot, 1])
+            self._cache_store(i, imgs[slot], w0, h0)
+            out[pos] = self._finish_sample(imgs[slot], target["bbx"], w0, h0)
         return out
 
 

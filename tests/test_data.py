@@ -146,6 +146,33 @@ def test_photometric_exact_k_gate_counts():
     assert set(np.flatnonzero(sc[:, 5] > 0.5)) == set(np.asarray(msel).tolist())
 
 
+def test_decoded_frame_cache_matches_recode(tmp_path):
+    """RAM-cached epochs must produce the same samples as re-decoding, on
+    both the per-sample and native-batch paths; host rotation still draws
+    fresh angles after the cache read."""
+    root = make_synthetic_widerface(tmp_path, num_images=4)
+    targets = load_targets(root, "train", max_faces=3)
+    cached = WIDERFaceDataSource(targets, (160, 160), 4, cache_decoded=True)
+    plain = WIDERFaceDataSource(targets, (160, 160), 4, cache_decoded=False)
+    for i in range(4):
+        cached.get(i)  # epoch 1: fill
+    for i in range(4):
+        ia, ba, ma = cached.get(i)  # epoch 2: hits
+        ib, bb, mb = plain.get(i)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ba, bb)
+        np.testing.assert_array_equal(ma, mb)
+    for got, i in zip(cached.get_batch(np.arange(4)), range(4)):
+        np.testing.assert_array_equal(got[0], plain.get(i)[0])
+
+    rot = WIDERFaceDataSource(
+        targets, (160, 160), 4, rotate_prob=1.0, cache_decoded=True
+    )
+    first = rot.get(0)[0].copy()
+    second = rot.get(0)[0]
+    assert not np.array_equal(first, second)  # fresh angle per epoch
+
+
 def test_degenerate_box_fallback(tmp_path):
     root = make_synthetic_widerface(tmp_path, num_images=3)
     targets = parse_wider_annotations(root, "train")
