@@ -1,0 +1,31 @@
+"""Mesh-scaling smoke: the driver-contract dry run on larger virtual meshes.
+
+The driver validates ``dryrun_multichip(8)``; this test proves the same
+sharded training step compiles and runs on a 16-device ``data x spatial``
+mesh (the "larger meshes" round-2 item) — the GSPMD program is
+device-count-agnostic, so this is the cheap guard against shardings that
+only happen to work at 8.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_dryrun_multichip_16_devices():
+    env = os.environ.copy()
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = ""  # dryrun forces the CPU platform itself
+    code = (
+        "import sys; sys.path.insert(0, %r);"
+        "import __graft_entry__ as g; g.dryrun_multichip(16)" % str(REPO)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout, out.stdout
