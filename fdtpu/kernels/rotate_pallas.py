@@ -52,10 +52,10 @@ def _pad_for(size: int) -> int:
     return max(pad, 16)
 
 
-def _shear_kernel(k_ref, in_ref, out_ref, *, j_slices, lanes, row_mod,
+def _shear_kernel(k_ref, in_ref, out_ref, *, band, j_slices, lanes, row_mod,
                   row_center):
-    """One 8-row output band of ``out[r, l] = in[r, l + t(r)]`` with linear
-    interpolation, ``t(r) = k * ((r % row_mod) - row_center)``.
+    """One ``band``-row output band of ``out[r, l] = in[r, l + t(r)]`` with
+    linear interpolation, ``t(r) = k * ((r % row_mod) - row_center)``.
 
     The band is loaded once at its static offset and the per-band integer
     shifts are realized with ``pltpu.roll`` (Mosaic's dynamic lane rotate —
@@ -69,10 +69,10 @@ def _shear_kernel(k_ref, in_ref, out_ref, *, j_slices, lanes, row_mod,
     v5e: ``roll((8,384), -1)`` returns ``x[l+129]`` — the borrow uses the
     padded 512-lane register width). ``mod`` is semantically free since
     roll is modular."""
-    band = pl.program_id(1)
-    r0 = band * 8
+    b = pl.program_id(1)
+    r0 = b * band
     k = k_ref[pl.program_id(0), 0]
-    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
     if row_mod:
         rows = rows % row_mod
     t = k * (rows.astype(jnp.float32) - row_center)
@@ -81,8 +81,8 @@ def _shear_kernel(k_ref, in_ref, out_ref, *, j_slices, lanes, row_mod,
     n0 = jnp.min(n).astype(jnp.int32)
     d = n.astype(jnp.int32) - n0
 
-    src = in_ref[0, pl.ds(r0, 8), :]
-    acc = jnp.zeros((8, lanes), in_ref.dtype)
+    src = in_ref[0, pl.ds(r0, band), :]
+    acc = jnp.zeros((band, lanes), in_ref.dtype)
     for j in range(j_slices):
         s_j = pltpu.roll(src, jnp.mod(-(n0 + j), lanes), axis=1)
         c_j = jnp.where(d == j, 1.0 - f, 0.0) + jnp.where(d == j - 1, f, 0.0)
@@ -90,14 +90,26 @@ def _shear_kernel(k_ref, in_ref, out_ref, *, j_slices, lanes, row_mod,
     out_ref[0, :, :] = acc
 
 
-def _shear(planes, k, *, j_slices, row_mod, row_center, interpret=False):
+def _shear(planes, k, *, k_max, row_mod, row_center, interpret=False,
+           band=16):
     """Apply the banded shear kernel to ``(K, R, L)`` guarded planes with
-    per-image coefficients ``k`` of shape ``(K,)``."""
+    per-image coefficients ``k`` of shape ``(K,)``, ``|k| <= k_max``.
+
+    ``band`` trades grid-dispatch overhead against extra roll slices: the
+    integer shift spreads by at most ``ceil(k_max*(band-1))`` inside a
+    band, so ``j_slices = spread + 2``. Measured on v5e (26x320px call):
+    band 8 -> 6.74 ms (grid-overhead-bound, ~0.4 us/step), band 32 ->
+    5.91 ms but a 750 s Mosaic compile (large unrolled bodies), band 16 ->
+    5.87 ms with a 100 s compile; 16 is the default."""
     kk, r, l = planes.shape
-    assert r % 8 == 0, r
     assert l % 128 == 0, l  # pltpu.roll needs full lane tiles
+    while r % band:
+        band //= 2
+    assert band >= 8, (r, band)
+    j_slices = math.ceil(k_max * (band - 1)) + 2
     kernel = functools.partial(
         _shear_kernel,
+        band=band,
         j_slices=j_slices,
         lanes=l,
         row_mod=row_mod,
@@ -105,13 +117,13 @@ def _shear(planes, k, *, j_slices, row_mod, row_center, interpret=False):
     )
     return pl.pallas_call(
         kernel,
-        grid=(kk, r // 8),
+        grid=(kk, r // band),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (K, 1) coefficients
             pl.BlockSpec((1, r, l), lambda i, b: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, l), lambda i, b: (i, b, 0),
+        out_specs=pl.BlockSpec((1, band, l), lambda i, b: (i, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((kk, r, l), planes.dtype),
         interpret=interpret,
@@ -146,15 +158,17 @@ def rotate_batch(imgs, angles, *, interpret=False):
     k1 = -jnp.tan(angles / 2.0)
     k2 = jnp.sin(angles)
 
-    p1 = _shear(x, k1, j_slices=4, row_mod=hp, row_center=cy,
+    k1_max = math.tan(ROTATE_LIMIT_RAD / 2)
+    k2_max = math.sin(ROTATE_LIMIT_RAD)
+    p1 = _shear(x, k1, k_max=k1_max, row_mod=hp, row_center=cy,
                 interpret=interpret)
     # vertical shear on the transpose (rows=x, lanes=stacked y + guards)
     t1 = jnp.pad(jnp.swapaxes(p1, 1, 2), ((0, 0), (0, 0), (g2, g2)))
-    t2 = _shear(t1, k2, j_slices=5, row_mod=0, row_center=g1 + cy,
+    t2 = _shear(t1, k2, k_max=k2_max, row_mod=0, row_center=g1 + cy,
                 interpret=interpret)
     # back: rows=stacked y, lanes = T2's rows = x (already guarded)
     p2 = jnp.swapaxes(t2[:, :, g2 : g2 + c * hp], 1, 2)
-    p3 = _shear(p2, k1, j_slices=4, row_mod=hp, row_center=cy,
+    p3 = _shear(p2, k1, k_max=k1_max, row_mod=hp, row_center=cy,
                 interpret=interpret)
 
     out = p3.reshape(kk, c, hp, hp + 2 * g1)[
