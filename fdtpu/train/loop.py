@@ -21,6 +21,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fdtpu.data.pipeline import Batch, BatchLoader, DevicePrefetcher
@@ -103,6 +104,44 @@ class Trainer:
         self.rng = jax.random.PRNGKey(config.seed + 1)
         self.epoch = 0
         self.profile_dir: str | None = None  # set to capture jax.profiler traces
+        # steps_per_dispatch > 1: scan several train steps inside ONE device
+        # program (jitted per distinct group size, so at most two compiles —
+        # the full group and the epoch remainder). device_data: stage the
+        # whole dataset into HBM once and run each epoch as a single scan
+        # with an on-device shuffle — zero host traffic from epoch 2 on.
+        self._raw_train_step = None
+        self._scan_steps: dict[int, callable] = {}
+        self._device_ds = None
+        self._device_epoch_jit = None
+        if (config.steps_per_dispatch > 1 or config.device_data) \
+                and self.mesh is None:
+            self._raw_train_step = make_train_step(
+                module, self.tx, config, augment=augment,
+                compute_metrics=False, nms_params=nms_params,
+                neg_pos_ratio=neg_pos_ratio, bg_push=bg_push, jit=False,
+            )
+
+    def _scan_train_step(self, n: int):
+        """Jitted ``lax.scan`` of ``n`` train steps — one dispatch, per-step
+        losses. Takes the ``n`` batches as FLAT per-batch arrays (already
+        device_put asynchronously as they streamed off the loader) and
+        stacks them on device: a single host-side stacked transfer measured
+        ~5x slower than overlapped per-batch puts through the axon tunnel."""
+        if n not in self._scan_steps:
+            raw = self._raw_train_step
+
+            def scan_fn(state, rng, *flat):
+                xs = tuple(
+                    jnp.stack(flat[f::4]) for f in range(4)
+                )
+
+                def body(s, x):
+                    s, scalars = raw(s, *x, rng)
+                    return s, scalars["loss"]
+                return jax.lax.scan(body, state, xs)
+
+            self._scan_steps[n] = jax.jit(scan_fn, donate_argnums=(0,))
+        return self._scan_steps[n]
 
     def _metrics_train_step(self):
         """Train step that also decodes predictions and computes detection
@@ -160,6 +199,10 @@ class Trainer:
         return self._train_epoch_body()
 
     def _train_epoch_body(self) -> dict:
+        if self.config.device_data and self.mesh is None:
+            return self._train_epoch_device()
+        if self._raw_train_step is not None:
+            return self._train_epoch_scan(self.config.steps_per_dispatch)
         losses = []
         det_metrics: dict = {}
         nb = len(self.train_loader)
@@ -213,6 +256,188 @@ class Trainer:
         if det_metrics:
             metrics.update(
                 {k: float(v) for k, v in jax.device_get(det_metrics).items()}
+            )
+            metrics["f1"] = f1_score(metrics["precision"], metrics["recall"])
+        self.logger.log_epoch(self.epoch, "training", metrics)
+        return metrics
+
+    def _stage_device_dataset(self):
+        """One streamed pass over the train loader, concatenated into
+        HBM-resident ``(N, ...)`` arrays (WIDERFace train at 320px is
+        ~3.9 GB of a v5e's 16 GB). After this, epochs never touch the host
+        — the answer to host-transfer-bound links (the axon tunnel moves
+        ~22 MB/s; a 320px b128 batch is 37 MB)."""
+        if self._device_ds is None:
+            src = getattr(self.train_loader, "source", None)
+            if getattr(src, "rotate_prob", 0.0):
+                raise ValueError(
+                    "device_data stages decoded frames once, so host-side "
+                    "rotation would freeze one angle per image for all "
+                    "epochs. Build the source with rotate_prob=0.0 and use "
+                    "rotate_device=True for rotation augmentation."
+                )
+            parts: list[list] = [[], [], [], []]
+            for b in self.train_loader:
+                arrays = (b.images, b.boxes, b.box_mask, b.sample_mask)
+                for i, a in enumerate(arrays):
+                    parts[i].append(jax.device_put(a))  # async H2D
+            self._device_ds = tuple(jnp.concatenate(p) for p in parts)
+        return self._device_ds
+
+    def _device_epoch(self, nb: int, batch: int, shuffle: bool):
+        """Jitted whole-epoch scan over the resident dataset: draw the epoch
+        permutation, gather each batch's rows on device, run the step.
+        Scans ``nb - 1`` steps; the final batch runs outside (metrics +
+        same observable behavior as the streamed loop)."""
+        if self._device_epoch_jit is None:
+            raw = self._raw_train_step
+
+            def epoch_fn(state, rng, perm, imgs, boxes, bm, sm):
+                def body(s, i):
+                    sel = jax.lax.dynamic_slice_in_dim(perm, i * batch, batch)
+                    s, scalars = raw(
+                        s, imgs[sel], boxes[sel], bm[sel], sm[sel], rng
+                    )
+                    return s, scalars["loss"]
+                return jax.lax.scan(body, state, jnp.arange(nb - 1))
+
+            self._device_epoch_jit = jax.jit(epoch_fn, donate_argnums=(0,))
+        return self._device_epoch_jit
+
+    def _train_epoch_device(self) -> dict:
+        imgs, boxes, bm, sm = self._stage_device_dataset()
+        batch = self.train_loader.batch_size
+        n = imgs.shape[0]
+        nb = n // batch
+        shuffle = bool(getattr(self.train_loader, "shuffle", False))
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.config.seed + 2), self.epoch
+        )
+        perm = (
+            jax.random.permutation(key, n) if shuffle else jnp.arange(n)
+        )
+        if self.config.visualize_first_batch:
+            sel0 = perm[:batch]
+            _, (pred_boxes, pred_mask) = self.eval_step(
+                self.state, imgs[sel0], boxes[sel0], bm[sel0], sm[sel0]
+            )
+            draw_bbx(
+                np.asarray(imgs[sel0][0]),
+                np.asarray(pred_boxes[0]),
+                mask=np.asarray(pred_mask[0]),
+                save_name=f"train_epoch_{self.epoch}",
+            )
+        self.state, scan_losses = self._device_epoch(nb, batch, shuffle)(
+            self.state, self.rng, perm, imgs, boxes, bm, sm
+        )
+        # final batch via the metrics step (train-epoch iou/recall/precision)
+        sel = jax.lax.dynamic_slice_in_dim(perm, (nb - 1) * batch, batch)
+        step = (
+            self._metrics_train_step()
+            if self.config.train_metrics else self.train_step
+        )
+        self.state, scalars = step(
+            self.state, imgs[sel], boxes[sel], bm[sel], sm[sel], self.rng
+        )
+        losses = np.concatenate([
+            np.atleast_1d(jax.device_get(scan_losses)),
+            np.atleast_1d(jax.device_get(scalars["loss"])),
+        ])
+        metrics = {"loss": float(losses.mean())}
+        if "iou" in scalars:
+            det = jax.device_get(
+                {k: scalars[k] for k in ("iou", "recall", "precision")}
+            )
+            metrics.update({k: float(v) for k, v in det.items()})
+            metrics["f1"] = f1_score(metrics["precision"], metrics["recall"])
+        self.logger.log_epoch(self.epoch, "training", metrics)
+        return metrics
+
+    def _train_epoch_scan(self, k: int) -> dict:
+        """Epoch body with ``k`` steps per device dispatch. Group boundaries:
+        the final batch is reserved for the metrics step when
+        ``train_metrics`` is on (same observable behavior as the per-batch
+        loop); the leading batches run as full-``k`` groups plus one
+        remainder group."""
+        losses: list = []
+        det_metrics: dict = {}
+        nb = len(self.train_loader)
+        reserve = 1 if (self.config.train_metrics and nb) else 0
+        group_target = nb - reserve
+        log_groups = max(1, (self.config.log_every_steps or 0) // k) \
+            if self.config.log_every_steps else 0
+        buf: list[tuple] = []  # per-batch arrays, device_put as they stream
+        final_batch: Batch | None = None
+        dispatched = groups = 0
+
+        def flush():
+            nonlocal dispatched, groups
+            if not buf:
+                return
+            if len(buf) == 1:
+                self.state, scalars = self.train_step(
+                    self.state, *buf[0], self.rng,
+                )
+                last_loss = scalars["loss"]
+                losses.append(last_loss)
+            else:
+                flat = [arr for b in buf for arr in b]
+                self.state, group_losses = self._scan_train_step(len(buf))(
+                    self.state, self.rng, *flat
+                )
+                last_loss = group_losses[-1]
+                losses.append(group_losses)
+            dispatched += len(buf)
+            groups += 1
+            if log_groups and (groups - 1) % log_groups == 0:
+                print(
+                    f"epoch {self.epoch} step {dispatched - 1}: "
+                    f"step_loss={float(last_loss):.4f}",
+                    flush=True,
+                )
+            buf.clear()
+
+        for bi, batch in enumerate(self.train_loader):
+            if bi == 0 and self.config.visualize_first_batch:
+                _, (pred_boxes, pred_mask) = self.eval_step(
+                    self.state, batch.images, batch.boxes,
+                    batch.box_mask, batch.sample_mask,
+                )
+                draw_bbx(
+                    batch.images[0],
+                    np.asarray(pred_boxes[0]),
+                    mask=np.asarray(pred_mask[0]),
+                    save_name=f"train_epoch_{self.epoch}",
+                )
+            if bi < group_target:
+                buf.append(tuple(
+                    jax.device_put(a) for a in (
+                        batch.images, batch.boxes,
+                        batch.box_mask, batch.sample_mask,
+                    )
+                ))  # async: H2D overlaps with the loader's next decode
+                if len(buf) == k:
+                    flush()
+            else:
+                final_batch = batch
+        flush()
+        if final_batch is not None:
+            b = final_batch
+            self.state, scalars = self._metrics_train_step()(
+                self.state, b.images, b.boxes, b.box_mask, b.sample_mask,
+                self.rng,
+            )
+            losses.append(scalars["loss"])
+            det_metrics = {
+                k_: scalars[k_] for k_ in ("iou", "recall", "precision")
+            }
+        flat = np.concatenate(
+            [np.atleast_1d(jax.device_get(l)) for l in losses]
+        ) if losses else np.zeros((0,))
+        metrics = {"loss": float(flat.mean()) if flat.size else 0.0}
+        if det_metrics:
+            metrics.update(
+                {k_: float(v) for k_, v in jax.device_get(det_metrics).items()}
             )
             metrics["f1"] = f1_score(metrics["precision"], metrics["recall"])
         self.logger.log_epoch(self.epoch, "training", metrics)

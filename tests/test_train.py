@@ -278,6 +278,81 @@ def test_trainer_fit_and_resume(loaders, tmp_path):
     assert (tmp_path / "logs/out.jsonl").exists()
 
 
+def test_steps_per_dispatch_matches_per_batch_loop(loaders, tmp_path):
+    """The scanned multi-step dispatch must reproduce the per-batch loop:
+    same data order + same rng folding (by state.step) => same epoch loss
+    and near-identical parameters (scan vs unrolled compile)."""
+    # 4 batches/epoch: one full k=3 scan group + the reserved metrics batch
+    train_loader = BatchLoader(
+        loaders[0].source, batch_size=2, drop_last=True
+    )
+
+    def run(k):
+        module = _small_poolresnet()
+        config = dataclasses.replace(
+            _config(use_sam=False, steps_per_dispatch=k),
+            max_epochs=1,
+            checkpoint_dir=str(tmp_path / f"ckpt{k}"),
+            log_path=str(tmp_path / f"logs{k}/out.log"),
+        )
+        t = Trainer(module, config, train_loader, None, augment=False,
+                    run_name="t")
+        out = t.fit()
+        return out["train"], t.state
+
+    m1, s1 = run(1)
+    m3, s3 = run(3)  # 2 batches/epoch at b4 from 8 imgs... group + remainder
+    assert np.isclose(m1["loss"], m3["loss"], rtol=1e-5), (m1, m3)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l3 = jax.tree_util.tree_leaves(s3.params)
+    for a, b in zip(l1, l3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert int(s1.step) == int(s3.step)
+
+
+def test_device_data_epoch_matches_streamed_loop(loaders, tmp_path):
+    """The HBM-resident whole-epoch scan must reproduce the streamed
+    per-batch loop when the loader doesn't shuffle (identity permutation =
+    identical batches, same rng folding)."""
+    train_loader = BatchLoader(
+        loaders[0].source, batch_size=2, drop_last=True
+    )
+
+    def run(device_data):
+        module = _small_poolresnet()
+        config = dataclasses.replace(
+            _config(use_sam=False, device_data=device_data),
+            max_epochs=1,
+            checkpoint_dir=str(tmp_path / f"ckpt{device_data}"),
+            log_path=str(tmp_path / f"logs{device_data}/out.log"),
+        )
+        t = Trainer(module, config, train_loader, None, augment=False,
+                    run_name="t")
+        out = t.fit()
+        return out["train"], t.state
+
+    m1, s1 = run(False)
+    m2, s2 = run(True)
+    assert np.isclose(m1["loss"], m2["loss"], rtol=1e-5), (m1, m2)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert int(s1.step) == int(s2.step)
+
+
+def test_device_data_rejects_host_rotation(loaders):
+    src = loaders[0].source
+    rot_src = WIDERFaceDataSource(
+        src.targets, (SIZE, SIZE), box_capacity=4, error_log=None,
+        rotate_prob=0.2,
+    )
+    loader = BatchLoader(rot_src, batch_size=2, drop_last=True)
+    config = _config(use_sam=False, device_data=True)
+    t = Trainer(_small_poolresnet(), config, loader, None, augment=False)
+    with pytest.raises(ValueError, match="rotate_device"):
+        t.train_epoch()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     module = _small_poolresnet()
     config = _config()

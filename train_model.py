@@ -40,6 +40,14 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-train-images", type=int, default=0,
                    help="subset for quick runs (0 = all)")
+    p.add_argument("--device-data", action="store_true",
+                   help="stage the training set into device HBM once and "
+                        "scan whole epochs on device (WIDERFace@320px is "
+                        "~3.9 GB resident; implies no host rotation)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="train steps scanned per device program; >1 "
+                        "amortizes dispatch latency (essential through the "
+                        "axon TPU tunnel at ~1 s/call)")
     p.add_argument("--rotate-device", action="store_true",
                    help="run the Rotate augmentation on device (three-shear "
                         "Pallas kernels) instead of host-side PIL — frees "
@@ -105,6 +113,8 @@ def main():
         checkpoint_dir="checkpoints",
         data_parallel=args.data_parallel,
         rotate_device=args.rotate_device,
+        steps_per_dispatch=args.steps_per_dispatch,
+        device_data=args.device_data,
     )
 
     download_dataset_files(args.data_dir)
@@ -117,7 +127,11 @@ def main():
     shape = model_cfg.input_shape
     train_src = WIDERFaceDataSource(
         train_targets, shape, args.box_capacity,
-        rotate_prob=0.0 if (args.no_augment or args.rotate_device) else 0.2,
+        # host rotation is off under --rotate-device (device kernels do it)
+        # and --device-data (frames are staged once; pass --rotate-device)
+        rotate_prob=0.0
+        if (args.no_augment or args.rotate_device or args.device_data)
+        else 0.2,
         seed=args.seed,
     )
     val_src = WIDERFaceDataSource(val_targets, shape, args.box_capacity)
