@@ -268,7 +268,7 @@ class Trainer:
         — the answer to host-transfer-bound links (the axon tunnel moves
         ~22 MB/s; a 320px b128 batch is 37 MB)."""
         if self._device_ds is None:
-            src = getattr(self.train_loader, "source", None)
+            src = self.train_loader.source
             if getattr(src, "rotate_prob", 0.0):
                 raise ValueError(
                     "device_data stages decoded frames once, so host-side "
@@ -276,12 +276,30 @@ class Trainer:
                     "epochs. Build the source with rotate_prob=0.0 and use "
                     "rotate_device=True for rotation augmentation."
                 )
-            parts: list[list] = [[], [], [], []]
-            for b in self.train_loader:
-                arrays = (b.images, b.boxes, b.box_mask, b.sample_mask)
-                for i, a in enumerate(arrays):
-                    parts[i].append(jax.device_put(a))  # async H2D
-            self._device_ds = tuple(jnp.concatenate(p) for p in parts)
+            # Stage from the SOURCE (all samples, chunked at batch size),
+            # not the loader: an epoch_fraction loader yields only one
+            # random fraction per pass. Each device epoch then slices its
+            # fraction off a fresh full-N permutation — exactly the
+            # reference's rotating-quarter sampling (dataset_ssd.py:32-34).
+            batch = self.train_loader.batch_size
+            n_total = (len(src) // batch) * batch
+            parts: list[list] = [[], [], []]
+            for start in range(0, n_total, batch):
+                idx = np.arange(start, start + batch)
+                samples = (
+                    src.get_batch(idx) if hasattr(src, "get_batch")
+                    else [src.get(int(i)) for i in idx]
+                )
+                for i in range(3):
+                    parts[i].append(jax.device_put(
+                        np.stack([s[i] for s in samples])
+                    ))  # async H2D
+            self._device_ds = (
+                jnp.concatenate(parts[0]),
+                jnp.concatenate(parts[1]).astype(jnp.float32),
+                jnp.concatenate(parts[2]),
+                jnp.ones((n_total,), bool),
+            )
         return self._device_ds
 
     def _device_epoch(self, nb: int, batch: int, shuffle: bool):
@@ -308,7 +326,8 @@ class Trainer:
         imgs, boxes, bm, sm = self._stage_device_dataset()
         batch = self.train_loader.batch_size
         n = imgs.shape[0]
-        nb = n // batch
+        ef = getattr(self.train_loader, "epoch_fraction", 1) or 1
+        nb = max(1, (n // ef) // batch)
         shuffle = bool(getattr(self.train_loader, "shuffle", False))
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.config.seed + 2), self.epoch

@@ -46,6 +46,12 @@ def parse_args():
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax backend (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; use --platform cpu for host runs)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="train steps scanned per device program (see "
+                        "train_model.py)")
+    p.add_argument("--device-data", action="store_true",
+                   help="stage the (quarter-)epoch training set into device "
+                        "HBM and scan whole epochs on device")
     return p.parse_args()
 
 
@@ -74,6 +80,8 @@ def main():
         seed=args.seed,
         log_path=f"logs/out_{run_name}.log",
         data_parallel=args.data_parallel,
+        steps_per_dispatch=args.steps_per_dispatch,
+        device_data=args.device_data,
     )
 
     download_dataset_files(args.data_dir)
