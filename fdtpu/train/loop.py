@@ -113,6 +113,8 @@ class Trainer:
         self._scan_steps: dict[int, callable] = {}
         self._device_ds = None
         self._device_epoch_jit = None
+        self._device_val: dict[int, tuple] = {}
+        self._device_eval_jit: dict[int, callable] = {}
         if (config.steps_per_dispatch > 1 or config.device_data) \
                 and self.mesh is None:
             self._raw_train_step = make_train_step(
@@ -281,26 +283,31 @@ class Trainer:
             # random fraction per pass. Each device epoch then slices its
             # fraction off a fresh full-N permutation — exactly the
             # reference's rotating-quarter sampling (dataset_ssd.py:32-34).
-            batch = self.train_loader.batch_size
-            n_total = (len(src) // batch) * batch
-            parts: list[list] = [[], [], []]
-            for start in range(0, n_total, batch):
-                idx = np.arange(start, start + batch)
-                samples = (
-                    src.get_batch(idx) if hasattr(src, "get_batch")
-                    else [src.get(int(i)) for i in idx]
-                )
-                for i in range(3):
-                    parts[i].append(jax.device_put(
-                        np.stack([s[i] for s in samples])
-                    ))  # async H2D
-            self._device_ds = (
-                jnp.concatenate(parts[0]),
-                jnp.concatenate(parts[1]).astype(jnp.float32),
-                jnp.concatenate(parts[2]),
-                jnp.ones((n_total,), bool),
-            )
+            self._device_ds = self._stage_from_source(self.train_loader)
         return self._device_ds
+
+    @staticmethod
+    def _stage_from_source(loader):
+        src = loader.source
+        batch = loader.batch_size
+        n_total = (len(src) // batch) * batch
+        parts: list[list] = [[], [], []]
+        for start in range(0, n_total, batch):
+            idx = np.arange(start, start + batch)
+            samples = (
+                src.get_batch(idx) if hasattr(src, "get_batch")
+                else [src.get(int(i)) for i in idx]
+            )
+            for i in range(3):
+                parts[i].append(jax.device_put(
+                    np.stack([s[i] for s in samples])
+                ))  # async H2D
+        return (
+            jnp.concatenate(parts[0]),
+            jnp.concatenate(parts[1]).astype(jnp.float32),
+            jnp.concatenate(parts[2]),
+            jnp.ones((n_total,), bool),
+        )
 
     def _device_epoch(self, nb: int, batch: int, shuffle: bool):
         """Jitted whole-epoch scan over the resident dataset: draw the epoch
@@ -462,10 +469,60 @@ class Trainer:
         self.logger.log_epoch(self.epoch, "training", metrics)
         return metrics
 
+    def _eval_epoch_device(self, loader, split: str) -> dict:
+        """HBM-resident eval epoch: one scan over the staged loader's
+        batches (contiguous slices — no permutation), per-batch scalars
+        averaged on device. A streamed 320px validation pass moves ~37 MB
+        per batch over the host link every epoch; staged, it moves zero."""
+        key = id(loader)
+        if key not in self._device_val:
+            self._device_val[key] = self._stage_from_source(loader)
+        imgs, boxes, bm, sm = self._device_val[key]
+        batch = loader.batch_size
+        nb = imgs.shape[0] // batch
+        if key not in self._device_eval_jit:
+            raw_eval = make_eval_step(
+                self.module, self.config, nms_params=self._nms_params,
+                return_boxes=False, neg_pos_ratio=self._neg_pos_ratio,
+                bg_push=self._bg_push, jit=False,
+            )
+
+            def eval_fn(state, imgs, boxes, bm, sm):
+                def body(_, i):
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, i * batch, batch
+                    )
+                    return _, raw_eval(
+                        state, sl(imgs), sl(boxes), sl(bm), sl(sm)
+                    )
+                _, scalars = jax.lax.scan(body, None, jnp.arange(nb))
+                return {k: v.mean() for k, v in scalars.items()}
+
+            self._device_eval_jit[key] = jax.jit(eval_fn)
+        scalars = self._device_eval_jit[key](self.state, imgs, boxes, bm, sm)
+        if self.config.visualize_first_batch:
+            _, (pred_boxes, pred_mask) = self.eval_step(
+                self.state, imgs[:batch], boxes[:batch], bm[:batch],
+                sm[:batch],
+            )
+            draw_bbx(
+                np.asarray(imgs[0]),
+                np.asarray(pred_boxes[0]),
+                mask=np.asarray(pred_mask[0]),
+                save_name=f"{split}_epoch_{self.epoch}",
+            )
+        metrics = {k: float(v) for k, v in jax.device_get(scalars).items()}
+        if "precision" in metrics and "recall" in metrics:
+            metrics["f1"] = f1_score(metrics["precision"], metrics["recall"])
+        self.logger.log_epoch(self.epoch, split, metrics)
+        return metrics
+
     def eval_epoch(self, loader: BatchLoader | None = None, split="validation") -> dict:
         loader = loader or self.val_loader
         if loader is None:
             return {}
+        if self.config.device_data and self.mesh is None:
+            return self._eval_epoch_device(loader, split)
         agg: dict[str, list] = {}
         first = True
         for batch in DevicePrefetcher(loader, mesh=self.mesh):

@@ -326,14 +326,18 @@ def test_device_data_epoch_matches_streamed_loop(loaders, tmp_path):
             checkpoint_dir=str(tmp_path / f"ckpt{device_data}"),
             log_path=str(tmp_path / f"logs{device_data}/out.log"),
         )
-        t = Trainer(module, config, train_loader, None, augment=False,
+        val_loader = BatchLoader(train_loader.source, batch_size=2,
+                                 drop_last=True)
+        t = Trainer(module, config, train_loader, val_loader, augment=False,
                     run_name="t")
         out = t.fit()
-        return out["train"], t.state
+        return out["train"], t.state, out["val"]
 
-    m1, s1 = run(False)
-    m2, s2 = run(True)
+    m1, s1, v1 = run(False)
+    m2, s2, v2 = run(True)
     assert np.isclose(m1["loss"], m2["loss"], rtol=1e-5), (m1, m2)
+    for k in v1:  # resident eval epoch == streamed eval epoch
+        assert np.isclose(v1[k], v2[k], rtol=1e-4, atol=1e-6), (k, v1, v2)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
