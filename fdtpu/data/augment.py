@@ -448,8 +448,35 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False):
     import os
 
     b = imgs.shape[0]
+    if b < 16:
+        # Exact-k rounding distorts tiny-batch marginals badly (round(0.2*2)
+        # forced to 1 means p=0.5); below 16 samples the per-sample Bernoulli
+        # path is cheap, so use the reference's exact distribution instead.
+        keys = jax.random.split(jax.random.fold_in(key, 23), b)
+        out_i, out_b, out_m = jax.vmap(augment_sample)(keys, imgs, boxes, masks)
+        if rotate:
+            from fdtpu.kernels import pallas_nms_available
+            from fdtpu.kernels.rotate_pallas import rotate_batch, rotate_boxes
+
+            kg, ka = jax.random.split(jax.random.fold_in(key, 29))
+            gate = jax.random.bernoulli(kg, P_ROTATE, (b,))
+            ang = jnp.where(
+                gate,
+                jax.random.uniform(
+                    ka, (b,),
+                    minval=-jnp.deg2rad(ROTATE_LIMIT_DEG),
+                    maxval=jnp.deg2rad(ROTATE_LIMIT_DEG),
+                ),
+                0.0,
+            )
+            out_i = rotate_batch(
+                out_i * 255.0, ang, interpret=not pallas_nms_available()
+            ) / 255.0
+            out_b, out_m = rotate_boxes(out_b, out_m, ang, imgs.shape[2])
+        return out_i, out_b, out_m
+
     kperm, kcrop, kpost = jax.random.split(key, 3)
-    k = max(1, round(P_CROP * b)) if b > 1 else 1
+    k = round(P_CROP * b)
     perm = jax.random.permutation(kperm, b)
     sel = perm[:k]
 
@@ -481,7 +508,7 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False):
         from fdtpu.kernels.rotate_pallas import rotate_batch, rotate_boxes
 
         krsel, kang = jax.random.split(jax.random.fold_in(key, 17))
-        rk = max(1, round(P_ROTATE * b)) if b > 1 else 1
+        rk = round(P_ROTATE * b)  # b >= 16 here, so rk >= 3
         rsel = jax.random.permutation(krsel, b)[:rk]
         ang = jax.random.uniform(
             kang, (rk,),

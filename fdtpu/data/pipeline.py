@@ -229,13 +229,19 @@ class WIDERFaceDataSource:
         imgs, dims, _ = decode_resize_batch(blobs, h, w)
         for slot, pos in enumerate(miss):
             i, target = metas[slot]
-            if target is None or dims[slot, 0] < 0:
+            try:
+                if target is None or dims[slot, 0] < 0:
+                    raise ValueError("decode failed")
+                w0, h0 = int(dims[slot, 0]), int(dims[slot, 1])
+                self._cache_store(i, imgs[slot], w0, h0)
+                out[pos] = self._finish_sample(
+                    imgs[slot], target["bbx"], w0, h0
+                )
+            except Exception:
+                # same per-slot tolerance as get(): log + neighbor substitute
+                # (covers post-decode failures too, e.g. malformed bbx)
                 self._log_failure(i)
                 out[pos] = self.get(i - 1 if i != 0 else i + 1, _depth=1)
-                continue
-            w0, h0 = int(dims[slot, 0]), int(dims[slot, 1])
-            self._cache_store(i, imgs[slot], w0, h0)
-            out[pos] = self._finish_sample(imgs[slot], target["bbx"], w0, h0)
         return out
 
 

@@ -23,17 +23,21 @@ def initialize_multihost(
 ) -> bool:
     """Initialize ``jax.distributed`` when running multi-process.
 
-    With no arguments, relies on the cluster environment (TPU pods populate
-    it automatically). Returns True when running distributed, False for the
-    single-process case (no-op). Idempotent.
+    With no arguments, ``jax.distributed.initialize()`` auto-detects the
+    cluster from the environment (TPU pods populate it); a plain single
+    process has no cluster metadata, which surfaces as an initialize error
+    and means "not distributed". Returns True when running distributed,
+    False for the single-process case (no-op). Idempotent. Must run before
+    any jax backend use — auto-detection is impossible afterwards.
     """
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     if num_processes in (None, 1) and coordinator_address is None:
         try:
-            if jax.process_count() > 1:
-                return True
-        except RuntimeError:
-            pass
-        return False
+            jax.distributed.initialize()
+        except Exception:
+            return False  # no cluster environment: single-process no-op
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -112,9 +112,19 @@ class Trainer:
         self._raw_train_step = None
         self._scan_steps: dict[int, callable] = {}
         self._device_ds = None
-        self._device_epoch_jit = None
-        self._device_val: dict[int, tuple] = {}
-        self._device_eval_jit: dict[int, callable] = {}
+        self._device_epoch_jit: dict[tuple, callable] = {}
+        # keyed by the loader OBJECT (strong ref: keeps ids stable and the
+        # staged arrays alive; each staged loader pins its dataset in HBM
+        # for the Trainer's lifetime)
+        self._device_val: dict[object, tuple] = {}
+        self._device_eval_jit: dict[object, callable] = {}
+        if (config.steps_per_dispatch > 1 or config.device_data) \
+                and self.mesh is not None:
+            raise ValueError(
+                "steps_per_dispatch>1 / device_data are single-device paths "
+                "and would be silently ignored under data_parallel — drop "
+                "one of the options"
+            )
         if (config.steps_per_dispatch > 1 or config.device_data) \
                 and self.mesh is None:
             self._raw_train_step = make_train_step(
@@ -168,6 +178,14 @@ class Trainer:
                 )
         return self._train_step_metrics
 
+    def _can_visualize(self, images) -> bool:
+        """First-batch rendering needs host access to sample 0 — impossible
+        for globally-sharded arrays spanning other processes (multihost DP),
+        where ``images[0]`` / fetching decoded boxes raises."""
+        return self.config.visualize_first_batch and getattr(
+            images, "is_fully_addressable", True
+        )
+
     def profile(self, trace_dir: str = "profiles"):
         """Enable a jax.profiler trace of the next training epoch — the
         torchinfo/manual-FPS observability (SURVEY.md §5) upgraded to real
@@ -211,7 +229,7 @@ class Trainer:
         for bi, batch in enumerate(
             DevicePrefetcher(self.train_loader, mesh=self.mesh)
         ):
-            if bi == 0 and self.config.visualize_first_batch:
+            if bi == 0 and self._can_visualize(batch.images):
                 # ModelMeta.py:144-157: render the first train batch's preds
                 _, (pred_boxes, pred_mask) = self.eval_step(
                     self.state, batch.images, batch.boxes,
@@ -288,12 +306,22 @@ class Trainer:
 
     @staticmethod
     def _stage_from_source(loader):
+        """Stage a loader's source as resident arrays, honoring the loader's
+        batch semantics: ``drop_last`` truncates to whole batches (the train
+        convention); otherwise the tail batch is padded with repeats and
+        masked out via ``sample_mask`` — byte-matching the streamed
+        ``BatchLoader`` so resident eval covers every sample."""
         src = loader.source
         batch = loader.batch_size
-        n_total = (len(src) // batch) * batch
+        n = len(src)
+        drop_last = bool(getattr(loader, "drop_last", False))
+        n_real = (n // batch) * batch if drop_last else n
+        n_total = ((n_real + batch - 1) // batch) * batch
         parts: list[list] = [[], [], []]
-        for start in range(0, n_total, batch):
-            idx = np.arange(start, start + batch)
+        for start in range(0, n_real, batch):
+            idx = np.minimum(
+                np.arange(start, start + batch), n_real - 1
+            )  # tail batch repeats the last sample (BatchLoader padding)
             samples = (
                 src.get_batch(idx) if hasattr(src, "get_batch")
                 else [src.get(int(i)) for i in idx]
@@ -302,19 +330,22 @@ class Trainer:
                 parts[i].append(jax.device_put(
                     np.stack([s[i] for s in samples])
                 ))  # async H2D
+        sample_mask = np.zeros((n_total,), bool)
+        sample_mask[:n_real] = True
         return (
             jnp.concatenate(parts[0]),
             jnp.concatenate(parts[1]).astype(jnp.float32),
             jnp.concatenate(parts[2]),
-            jnp.ones((n_total,), bool),
+            jnp.asarray(sample_mask),
         )
 
-    def _device_epoch(self, nb: int, batch: int, shuffle: bool):
-        """Jitted whole-epoch scan over the resident dataset: draw the epoch
-        permutation, gather each batch's rows on device, run the step.
+    def _device_epoch(self, nb: int, batch: int):
+        """Jitted whole-epoch scan over the resident dataset: gather each
+        batch's rows from the caller's epoch permutation, run the step.
         Scans ``nb - 1`` steps; the final batch runs outside (metrics +
         same observable behavior as the streamed loop)."""
-        if self._device_epoch_jit is None:
+        key = (nb, batch)
+        if key not in self._device_epoch_jit:
             raw = self._raw_train_step
 
             def epoch_fn(state, rng, perm, imgs, boxes, bm, sm):
@@ -326,8 +357,10 @@ class Trainer:
                     return s, scalars["loss"]
                 return jax.lax.scan(body, state, jnp.arange(nb - 1))
 
-            self._device_epoch_jit = jax.jit(epoch_fn, donate_argnums=(0,))
-        return self._device_epoch_jit
+            self._device_epoch_jit[key] = jax.jit(
+                epoch_fn, donate_argnums=(0,)
+            )
+        return self._device_epoch_jit[key]
 
     def _train_epoch_device(self) -> dict:
         imgs, boxes, bm, sm = self._stage_device_dataset()
@@ -353,7 +386,7 @@ class Trainer:
                 mask=np.asarray(pred_mask[0]),
                 save_name=f"train_epoch_{self.epoch}",
             )
-        self.state, scan_losses = self._device_epoch(nb, batch, shuffle)(
+        self.state, scan_losses = self._device_epoch(nb, batch)(
             self.state, self.rng, perm, imgs, boxes, bm, sm
         )
         # final batch via the metrics step (train-epoch iou/recall/precision)
@@ -474,7 +507,7 @@ class Trainer:
         batches (contiguous slices — no permutation), per-batch scalars
         averaged on device. A streamed 320px validation pass moves ~37 MB
         per batch over the host link every epoch; staged, it moves zero."""
-        key = id(loader)
+        key = loader  # object key: strong ref pins ids + staged arrays
         if key not in self._device_val:
             self._device_val[key] = self._stage_from_source(loader)
         imgs, boxes, bm, sm = self._device_val[key]
@@ -535,7 +568,7 @@ class Trainer:
             )
             for k, v in scalars.items():
                 agg.setdefault(k, []).append(v)
-            if first and self.config.visualize_first_batch:
+            if first and self._can_visualize(batch.images):
                 # ModelMeta.py:144-157: render the first sample's predictions
                 draw_bbx(
                     batch.images[0],
