@@ -469,10 +469,18 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False):
                 ),
                 0.0,
             )
-            out_i = rotate_batch(
+            rot_i = rotate_batch(
                 out_i * 255.0, ang, interpret=not pallas_nms_available()
             ) / 255.0
-            out_b, out_m = rotate_boxes(out_b, out_m, ang, imgs.shape[2])
+            rot_b, rot_m = rotate_boxes(out_b, out_m, ang, imgs.shape[2])
+            rot_b = jnp.concatenate(
+                [rot_b[..., :1], jnp.round(rot_b[..., 1:])], axis=-1
+            )  # dataset.py:88 rounds post-rotation coords
+            # ungated samples keep their originals untouched: rotate_boxes'
+            # min-area filter must not fire at angle 0 on sub-10px2 boxes
+            out_i = jnp.where(gate[:, None, None, None], rot_i, out_i)
+            out_b = jnp.where(gate[:, None, None], rot_b, out_b)
+            out_m = jnp.where(gate[:, None], rot_m, out_m)
         return out_i, out_b, out_m
 
     kperm, kcrop, kpost = jax.random.split(key, 3)

@@ -43,6 +43,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 
 def _gauss5_taps(sigma: float = 0.7):
@@ -105,7 +106,7 @@ _MOTION_TAPS = _motion_taps()
 
 
 def _photometric_kernel(scalars_ref, seeds_ref, img_ref, out_ref):
-    i = pl_program_id(0)
+    i = pl.program_id(0)
     s = i // 3  # sample index
     x = img_ref[0].astype(jnp.float32)  # (H, W) channel plane (block (1,H,W))
     h, w = x.shape
@@ -137,9 +138,14 @@ def _photometric_kernel(scalars_ref, seeds_ref, img_ref, out_ref):
         jax.lax.broadcasted_iota(jnp.uint32, (h, w), 0) * jnp.uint32(w)
         + jax.lax.broadcasted_iota(jnp.uint32, (h, w), 1)
     )
-    seed = seeds_ref[i].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-    bits1 = _mix(idx + seed)
-    bits2 = _mix(idx + seed + jnp.uint32(0x68E31DA4))
+    # XOR the (mixed) seed into the counter: any purely-additive combine
+    # g(idx + seed) makes two planes whose seeds differ by < H*W exact
+    # pixel-shifted copies of each other (~4.8e-5 per plane pair at 320px,
+    # i.e. an aliased pair every few b128 batches); with XOR a collision
+    # needs identical 32-bit seeds
+    seed = _mix(seeds_ref[i].astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    bits1 = _mix(idx ^ seed)
+    bits2 = _mix((idx ^ seed) + jnp.uint32(0x68E31DA4))
     # Mosaic lacks a uint32->f32 cast; the >>8 result fits int32
     u1 = jnp.maximum(
         (bits1 >> 8).astype(jnp.int32).astype(jnp.float32) / (1 << 24), 1e-7
@@ -180,12 +186,6 @@ def _photometric_kernel(scalars_ref, seeds_ref, img_ref, out_ref):
     out_ref[0] = (jnp.clip(x, 0.0, 255.0) / 255.0).astype(out_ref.dtype)
 
 
-def pl_program_id(axis):
-    from jax.experimental import pallas as pl
-
-    return pl.program_id(axis)
-
-
 @functools.partial(jax.jit, static_argnums=(3,))
 def pallas_photometric_batch(imgs, scalars, seeds, interpret: bool = False):
     """Apply the fused photometric chain.
@@ -200,7 +200,6 @@ def pallas_photometric_batch(imgs, scalars, seeds, interpret: bool = False):
 
     Returns ``(B, H, W, 3)`` float32 images in [0, 1].
     """
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, _ = imgs.shape

@@ -3,9 +3,15 @@
 The BASELINE.json north star: "inference-side box decode + confidence filter
 + NMS run as a single Pallas kernel" replacing the reference's host-side
 gather + native ``torchvision.ops.nms`` chain
-(``/root/reference/datasets/utils.py:157-170``). Contract and semantics are
-identical to the pure-XLA ``fdtpu.core.nms`` path (which remains the
-fallback on non-TPU backends and the test oracle).
+(``/root/reference/datasets/utils.py:157-170``). Contract and semantics
+match the pure-XLA ``fdtpu.core.nms`` path (the non-TPU fallback and test
+oracle) whenever at most ``capacity`` candidates pass the threshold — the
+realistic trained-model regime, where outputs are bit-identical. Under
+saturation (> capacity above-threshold candidates, e.g. crowded scenes or
+untrained nets) they legitimately diverge: the XLA path truncates to the
+top-``capacity`` scores BEFORE suppression (its static-shape compromise),
+while this kernel greedily scans ALL candidates — exact torchvision
+semantics (measured + recorded in BASELINE.md).
 
 Design notes:
 
@@ -273,9 +279,12 @@ def _pallas_nms_batched(
 
     conf = plane(values[..., 0], fill=-1.0)
     planes = [conf] + [plane(values[..., i + 1]) for i in range(4)]
+    # decode tables are identical for every batch row: materialize ONE
+    # tile-height copy and map every grid step to block (0, 0) instead of
+    # streaming a (b_pad, n_pad) broadcast from HBM per tile
     planes += [
         jnp.broadcast_to(
-            jnp.pad(t.astype(jnp.float32), (0, n_pad - n)), (b_pad, n_pad)
+            jnp.pad(t.astype(jnp.float32), (0, n_pad - n)), (tb, n_pad)
         )
         for t in tables
     ]
@@ -295,8 +304,9 @@ def _pallas_nms_batched(
         out_shape=jax.ShapeDtypeStruct((b_pad, capacity, 8), jnp.float32),
         in_specs=[
             pl.BlockSpec((tb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        * 9,
+        ] * 5 + [
+            pl.BlockSpec((tb, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ] * 4,
         out_specs=pl.BlockSpec(
             (tb, capacity, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),

@@ -103,9 +103,13 @@ def _shear(planes, k, *, k_max, row_mod, row_center, interpret=False,
     5.87 ms with a 100 s compile; 16 is the default."""
     kk, r, l = planes.shape
     assert l % 128 == 0, l  # pltpu.roll needs full lane tiles
-    while r % band:
+    # band must divide the channel-block period too: a band straddling a
+    # ``rows % row_mod`` wrap would need j_slices ~ k*row_mod and silently
+    # zero its rows (c_j all 0). With C channels stacked, r = C*row_mod, so
+    # requiring band | row_mod (when set) keeps bands inside one block.
+    while r % band or (row_mod and row_mod % band):
         band //= 2
-    assert band >= 8, (r, band)
+    assert band >= 8, (r, row_mod, band)
     j_slices = math.ceil(k_max * (band - 1)) + 2
     kernel = functools.partial(
         _shear_kernel,
