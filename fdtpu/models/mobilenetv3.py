@@ -185,3 +185,9 @@ class MobileNetV3Backbone(nn.Module):
             name="head",
         )(x)
         return nn.sigmoid(x.astype(jnp.float32))
+
+
+if __name__ == "__main__":  # smoke benchmark (reference MobilenetV3Backbone.py:63-84)
+    from fdtpu.models.smoke import smoke
+
+    smoke(MobileNetV3Backbone(input_shape=(320, 320), num_patches=15))

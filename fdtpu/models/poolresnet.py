@@ -65,3 +65,10 @@ class PoolResnet(nn.Module):
             dtype=self.dtype,
         )(x)
         return nn.sigmoid(x.astype(jnp.float32))
+
+
+if __name__ == "__main__":  # smoke benchmark (reference PoolResnet.py:108-129)
+    from fdtpu.models.smoke import smoke
+
+    smoke(PoolResnet(filters=64, input_shape=(320, 320), num_patches=15,
+                     num_residual_blocks=10))

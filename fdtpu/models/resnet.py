@@ -57,3 +57,10 @@ class Resnet(nn.Module):
             dtype=self.dtype,
         )(x)
         return nn.sigmoid(x.astype(jnp.float32))
+
+
+if __name__ == "__main__":  # smoke benchmark (reference Resnet.py:102-123)
+    from fdtpu.models.smoke import smoke
+
+    smoke(Resnet(filters=64, input_shape=(320, 320), num_patches=15,
+                 num_residual_blocks=10))

@@ -64,3 +64,10 @@ class SeparableCNN(nn.Module):
             dtype=self.dtype,
         )(x)
         return nn.sigmoid(x.astype(jnp.float32))
+
+
+if __name__ == "__main__":  # smoke benchmark (reference SeparableCNN.py:115-136)
+    from fdtpu.models.smoke import smoke
+
+    smoke(SeparableCNN(filters=64, input_shape=(320, 320), num_patches=15,
+                       num_residual_blocks=10))

@@ -86,3 +86,10 @@ class SSD(nn.Module):
         priors = calculate_priors(self.patch_sizes, dtype=out.dtype)
         scales = prior_scales(self.patch_sizes, dtype=out.dtype)
         return apply_priors(out, priors, scales)  # SSD.py:248
+
+
+if __name__ == "__main__":  # smoke benchmark (reference SSD.py:258-277)
+    from fdtpu.models.smoke import smoke
+
+    smoke(SSD(filters=16, input_shape=(480, 480),
+              patch_sizes=ssd_patch_sizes((480, 480))))
