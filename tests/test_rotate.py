@@ -83,6 +83,40 @@ def test_augment_batch_with_device_rotation():
     assert (valid[:, 2] + valid[:, 4] <= s).all()
 
 
+def test_tiny_batch_ungated_samples_untouched_by_rotation():
+    """Regression: in the b<16 gated-rotation path, samples whose rotation
+    gate does not fire must be byte-identical to the rotation-free pipeline
+    (the old code ran rotate_boxes at angle 0 on them, re-filtering and
+    un-rounding their boxes)."""
+    from fdtpu.data.augment import P_ROTATE, augment_batch_fast
+
+    rng = np.random.default_rng(5)
+    b, s = 8, 64
+    imgs = jnp.asarray(rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8))
+    boxes = np.zeros((b, 2, 5), np.float32)
+    boxes[:, 0] = [1.0, 20, 22, 18, 16]
+    masks = np.tile([True, False], (b, 1))
+    key = jax.random.PRNGKey(11)
+
+    run = jax.jit(
+        lambda k, i, bx, m, r: augment_batch_fast(k, i, bx, m, rotate=r),
+        static_argnums=(4,),
+    )
+    ri, rb, rm = run(key, imgs, jnp.asarray(boxes), jnp.asarray(masks), True)
+    pi, pb, pm = run(key, imgs, jnp.asarray(boxes), jnp.asarray(masks), False)
+    # recompute the path's rotation gates (augment.py derives them from
+    # fold_in(key, 29))
+    kg, _ = jax.random.split(jax.random.fold_in(key, 29))
+    gate = np.asarray(jax.random.bernoulli(kg, P_ROTATE, (b,)))
+    ungated = ~gate
+    assert ungated.any() and gate.any()
+    np.testing.assert_array_equal(np.asarray(ri)[ungated], np.asarray(pi)[ungated])
+    np.testing.assert_array_equal(np.asarray(rb)[ungated], np.asarray(pb)[ungated])
+    np.testing.assert_array_equal(np.asarray(rm)[ungated], np.asarray(pm)[ungated])
+    # and the gated ones really did rotate
+    assert not np.array_equal(np.asarray(ri)[gate], np.asarray(pi)[gate])
+
+
 def test_rotate_boxes_matches_host_math():
     rng = np.random.default_rng(1)
     boxes = np.zeros((1, 6, 5), np.float32)
