@@ -15,13 +15,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_dryrun_multichip_16_devices():
+def _dryrun(n: int):
     env = os.environ.copy()
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = ""  # dryrun forces the CPU platform itself
     code = (
         "import sys; sys.path.insert(0, %r);"
-        "import __graft_entry__ as g; g.dryrun_multichip(16)" % str(REPO)
+        "import __graft_entry__ as g; g.dryrun_multichip(%d)" % (str(REPO), n)
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -29,3 +29,11 @@ def test_dryrun_multichip_16_devices():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout, out.stdout
+
+
+def test_dryrun_multichip_16_devices():
+    _dryrun(16)
+
+
+def test_dryrun_multichip_32_devices():
+    _dryrun(32)
