@@ -285,17 +285,20 @@ def _sample_photometric_params_exact_k(key, b):
     README faithful-vs-fixed ledger.
     """
     ks = jax.random.split(key, 8)
-    n = max(1, round(P_NOISE * b)) if b > 1 else 1
+    # per-op counts from each op's own constant (they currently coincide at
+    # 0.2, but the marginals must track their constants independently)
+    count = lambda p: max(1, round(p * b)) if b > 1 else 1
+    n_noise, n_glass, n_motion = count(P_NOISE), count(P_GLASS), count(P_MOTION)
 
-    if 3 * n <= b:
+    if n_noise + n_glass + n_motion <= b:
         perm = jax.random.permutation(ks[4], b)
-        noise_sel, glass_sel, motion_sel = (
-            perm[:n], perm[n : 2 * n], perm[2 * n : 3 * n]
-        )
+        noise_sel = perm[:n_noise]
+        glass_sel = perm[n_noise : n_noise + n_glass]
+        motion_sel = perm[n_noise + n_glass : n_noise + n_glass + n_motion]
     else:  # tiny batches: keep the independent exact-k permutations
-        noise_sel = jax.random.permutation(ks[4], b)[:n]
-        glass_sel = jax.random.permutation(ks[5], b)[:n]
-        motion_sel = jax.random.permutation(ks[6], b)[:n]
+        noise_sel = jax.random.permutation(ks[4], b)[:n_noise]
+        glass_sel = jax.random.permutation(ks[5], b)[:n_glass]
+        motion_sel = jax.random.permutation(ks[6], b)[:n_motion]
 
     do_flip = jax.random.bernoulli(ks[0], P_FLIP, (b,)).astype(jnp.float32)
     do_bc = jax.random.bernoulli(ks[1], P_BC, (b,))
@@ -345,6 +348,7 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels):
     noise_sel, glass_sel, motion_sel = sels
     b = imgs.shape[0]
     n = noise_sel.shape[0]
+    n_sel3 = n + glass_sel.shape[0] + motion_sel.shape[0]
     imgs = imgs.astype(jnp.bfloat16)
     imgs = jnp.where(
         scalars[:, 0, None, None, None] > 0.5, imgs[:, :, ::-1, :], imgs
@@ -359,7 +363,7 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels):
             jax.random.key(seed, impl="rbg"), shape, dtype=imgs.dtype
         )
 
-    if 3 * n <= b:  # disjoint slices of one permutation: fuse the movement
+    if n_sel3 <= b:  # disjoint slices of one permutation: fuse the movement
         sel3 = jnp.concatenate([noise_sel, glass_sel, motion_sel])
         sub = imgs[sel3]
         sigma = scalars[noise_sel, 3].astype(imgs.dtype)

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--size", type=int, default=480)
     ap.add_argument("--scan", type=int, default=20)
     ap.add_argument("--capacity", type=int, default=64)
+    ap.add_argument("--priors", type=int, default=0,
+                    help="candidate count override (0 = derive from --size "
+                         "via ssd_patch_sizes)")
     args = ap.parse_args()
 
     from fdtpu.utils.cache import enable_compilation_cache
@@ -57,8 +60,11 @@ def main():
     )
     from fdtpu.models import ssd_patch_sizes
 
-    ps = ssd_patch_sizes((args.size, args.size))
-    n_priors = sum(p * p for p in ps)
+    if args.priors:
+        n_priors = args.priors
+    else:
+        ps = ssd_patch_sizes((args.size, args.size))
+        n_priors = sum(p * p for p in ps)
     B = args.batch
     tables = ssd_output_decode_tables(n_priors, (args.size, args.size))
     rng = np.random.default_rng(0)

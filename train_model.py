@@ -81,6 +81,18 @@ def main():
 
     args = parse_args()
     apply_platform(args.platform)
+    if args.device_data and not (args.no_augment or args.rotate_device):
+        # Staged frames can't carry host rotation (one frozen angle per image
+        # forever), and silently dropping the reference's Rotate(p=0.2) would
+        # change the training distribution — so imply the device kernels.
+        print(
+            "--device-data: enabling --rotate-device so the reference's "
+            "Rotate(p=0.2) augmentation is kept (host rotation cannot run "
+            "on staged frames); pass --rotate-device explicitly to silence "
+            "or --no-augment to disable augmentation",
+            flush=True,
+        )
+        args.rotate_device = True
     process_shard = None
     if args.multihost:
         import jax
