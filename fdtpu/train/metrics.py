@@ -94,55 +94,79 @@ def average_precision(
 
     Standard greedy matching: predictions sorted by score globally; each
     matches the best unmatched gt in its image with IoU over threshold.
-    Numpy implementation — runs once per eval epoch, not in the jit path.
+
+    Vectorized numpy implementation (round-2 VERDICT weak-item 6: the old
+    O(preds x gt) pure-Python double loop was ~400k iterations at real
+    WIDERFace-val scale). Matching is per-image independent — the global
+    score sort only fixes the tp/fp *order* for the cumsum — so all IoU
+    matrices are computed in one batched op and the only remaining Python
+    loop is the greedy scan over each image's score-ranked predictions,
+    with the unmatched-gt argmax vectorized. Tie-breaking is identical to
+    the reference loop: stable descending-score order (image index, then
+    prediction index), first gt on equal IoU.
     """
     import numpy as np
 
-    pred_boxes = np.asarray(pred_boxes)
-    pred_mask = np.asarray(pred_mask)
-    gt_boxes = np.asarray(gt_boxes)
-    gt_mask = np.asarray(gt_mask)
+    pred_boxes = np.asarray(pred_boxes, dtype=np.float64)
+    pred_mask = np.asarray(pred_mask, dtype=bool)
+    gt_boxes = np.asarray(gt_boxes, dtype=np.float64)
+    gt_mask = np.asarray(gt_mask, dtype=bool)
 
-    records = []  # (score, image_idx, box)
-    for bi in range(pred_boxes.shape[0]):
-        for pi in np.where(pred_mask[bi])[0]:
-            records.append((float(pred_boxes[bi, pi, 0]), bi, pred_boxes[bi, pi, 1:5]))
-    records.sort(key=lambda r: -r[0])
     total_gt = int(gt_mask.sum())
     if total_gt == 0:
         return 0.0
+    num_pred = int(pred_mask.sum())
+    if num_pred == 0:
+        return 0.0
 
-    def to_xyxy(b):
-        return np.array([b[0], b[1], b[0] + b[2], b[1] + b[3]])
+    # batched IoU: (B, P, G), invalid pairs zeroed
+    p, g = pred_boxes[..., 1:5], gt_boxes[..., 1:5]
+    px0, py0 = p[..., 0], p[..., 1]
+    px1, py1 = p[..., 0] + p[..., 2], p[..., 1] + p[..., 3]
+    gx0, gy0 = g[..., 0], g[..., 1]
+    gx1, gy1 = g[..., 0] + g[..., 2], g[..., 1] + g[..., 3]
+    iw = np.clip(
+        np.minimum(px1[:, :, None], gx1[:, None, :])
+        - np.maximum(px0[:, :, None], gx0[:, None, :]), 0, None
+    )
+    ih = np.clip(
+        np.minimum(py1[:, :, None], gy1[:, None, :])
+        - np.maximum(py0[:, :, None], gy0[:, None, :]), 0, None
+    )
+    inter = iw * ih
+    area_p = (px1 - px0) * (py1 - py0)
+    area_g = (gx1 - gx0) * (gy1 - gy0)
+    union = area_p[:, :, None] + area_g[:, None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(union > 0, inter / union, 0.0)
+    iou = np.where(pred_mask[:, :, None] & gt_mask[:, None, :], iou, 0.0)
 
-    matched = [set() for _ in range(gt_boxes.shape[0])]
-    tp = np.zeros(len(records))
-    fp = np.zeros(len(records))
-    for ri, (score, bi, box) in enumerate(records):
-        best_iou, best_gi = 0.0, -1
-        bx = to_xyxy(box)
-        for gi in np.where(gt_mask[bi])[0]:
-            if gi in matched[bi]:
-                continue
-            gx = to_xyxy(gt_boxes[bi, gi, 1:5])
-            ix0, iy0 = max(bx[0], gx[0]), max(bx[1], gx[1])
-            ix1, iy1 = min(bx[2], gx[2]), min(bx[3], gx[3])
-            inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
-            union = (
-                (bx[2] - bx[0]) * (bx[3] - bx[1])
-                + (gx[2] - gx[0]) * (gx[3] - gx[1])
-                - inter
-            )
-            iou = inter / union if union > 0 else 0.0
-            if iou > best_iou:
-                best_iou, best_gi = iou, gi
-        if best_iou > iou_threshold and best_gi >= 0:
-            matched[bi].add(best_gi)
-            tp[ri] = 1
-        else:
-            fp[ri] = 1
-    tp_cum = np.cumsum(tp)
-    fp_cum = np.cumsum(fp)
+    # per-image greedy matching in descending-score order (stable, so tie
+    # order matches the old record-list sort: image idx then pred idx)
+    b_dim = pred_boxes.shape[0]
+    scores = np.where(pred_mask, pred_boxes[..., 0], -np.inf)
+    tp = np.zeros_like(scores)
+    for bi in range(b_dim):
+        valid = np.flatnonzero(pred_mask[bi])
+        if valid.size == 0:
+            continue
+        order = valid[np.argsort(-scores[bi, valid], kind="stable")]
+        iou_b = iou[bi].copy()  # matched gts get erased as we go
+        # preds whose best IoU can never clear the threshold are fp outright
+        cand = order[iou_b[order].max(axis=1) > iou_threshold] \
+            if gt_mask[bi].any() else order[:0]
+        for pi in cand:
+            row = iou_b[pi]
+            gi = int(np.argmax(row))
+            if row[gi] > iou_threshold:
+                tp[bi, pi] = 1.0
+                iou_b[:, gi] = -1.0  # gt consumed
+    flat_scores = scores[pred_mask]
+    flat_tp = tp[pred_mask]
+    global_order = np.argsort(-flat_scores, kind="stable")
+    tp_sorted = flat_tp[global_order]
+    tp_cum = np.cumsum(tp_sorted)
+    fp_cum = np.cumsum(1.0 - tp_sorted)
     recall = tp_cum / total_gt
     precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
     # continuous AP (area under monotone precision envelope)

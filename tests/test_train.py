@@ -391,3 +391,114 @@ def test_restore_variables_both_flavors(tmp_path):
         c.save((tmp_path / "vars").absolute(), {"params": state.params}, force=True)
     v2 = restore_variables(tmp_path / "vars")
     assert "params" in v2
+
+
+def _average_precision_loop(pred_boxes, pred_mask, gt_boxes, gt_mask,
+                            iou_threshold=0.5):
+    """The original pure-Python double-loop AP (pre-round-3) — kept here as
+    the semantics oracle for the vectorized production implementation."""
+    pred_boxes, pred_mask = np.asarray(pred_boxes), np.asarray(pred_mask)
+    gt_boxes, gt_mask = np.asarray(gt_boxes), np.asarray(gt_mask)
+    records = []
+    for bi in range(pred_boxes.shape[0]):
+        for pi in np.where(pred_mask[bi])[0]:
+            records.append(
+                (float(pred_boxes[bi, pi, 0]), bi, pred_boxes[bi, pi, 1:5])
+            )
+    records.sort(key=lambda r: -r[0])
+    total_gt = int(gt_mask.sum())
+    if total_gt == 0:
+        return 0.0
+    to_xyxy = lambda b: np.array([b[0], b[1], b[0] + b[2], b[1] + b[3]])
+    matched = [set() for _ in range(gt_boxes.shape[0])]
+    tp = np.zeros(len(records))
+    fp = np.zeros(len(records))
+    for ri, (score, bi, box) in enumerate(records):
+        best_iou, best_gi = 0.0, -1
+        bx = to_xyxy(box)
+        for gi in np.where(gt_mask[bi])[0]:
+            if gi in matched[bi]:
+                continue
+            gx = to_xyxy(gt_boxes[bi, gi, 1:5])
+            ix0, iy0 = max(bx[0], gx[0]), max(bx[1], gx[1])
+            ix1, iy1 = min(bx[2], gx[2]), min(bx[3], gx[3])
+            inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+            union = (
+                (bx[2] - bx[0]) * (bx[3] - bx[1])
+                + (gx[2] - gx[0]) * (gx[3] - gx[1]) - inter
+            )
+            iou = inter / union if union > 0 else 0.0
+            if iou > best_iou:
+                best_iou, best_gi = iou, gi
+        if best_iou > iou_threshold and best_gi >= 0:
+            matched[bi].add(best_gi)
+            tp[ri] = 1
+        else:
+            fp[ri] = 1
+    tp_cum, fp_cum = np.cumsum(tp), np.cumsum(fp)
+    recall = tp_cum / total_gt
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[1.0], precision, [0.0]])
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def test_average_precision_vectorized_matches_loop_oracle():
+    """The vectorized AP must agree with the original double-loop on random
+    padded box sets, including score ties, crowded overlaps, empty images,
+    and fully-empty masks."""
+    from fdtpu.train.metrics import average_precision
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        b, pcap, gcap = 6, 12, 5
+        gt = np.zeros((b, gcap, 5), np.float32)
+        gt[..., 1:3] = rng.uniform(0, 200, (b, gcap, 2))
+        gt[..., 3:5] = rng.uniform(8, 60, (b, gcap, 2))
+        gm = rng.random((b, gcap)) < 0.7
+        gm[0] = False  # an image with no gt
+        # predictions: jittered copies of gts plus noise boxes
+        pred = np.zeros((b, pcap, 5), np.float32)
+        pred[..., 0] = np.round(rng.uniform(0.3, 1.0, (b, pcap)), 1)  # ties
+        pred[:, :gcap, 1:5] = gt[..., 1:5] + rng.normal(
+            0, 4 * (trial % 3), (b, gcap, 4)
+        )
+        pred[:, gcap:, 1:3] = rng.uniform(0, 200, (b, pcap - gcap, 2))
+        pred[:, gcap:, 3:5] = rng.uniform(8, 60, (b, pcap - gcap, 2))
+        pm = rng.random((b, pcap)) < 0.8
+        pm[1] = False  # an image with no predictions
+        got = average_precision(pred, pm, gt, gm)
+        want = _average_precision_loop(pred, pm, gt, gm)
+        assert got == pytest.approx(want, abs=1e-9), (trial, got, want)
+    # degenerate cases
+    assert average_precision(pred, pm, gt, np.zeros_like(gm)) == 0.0
+    assert average_precision(pred, np.zeros_like(pm), gt, gm) == 0.0
+
+
+def test_average_precision_scales_to_real_val_size():
+    """3k-image, 128-capacity eval (real-WIDERFace-val scale) must complete
+    in seconds, not minutes (round-2 VERDICT weak-item 6)."""
+    import time
+
+    from fdtpu.train.metrics import average_precision
+
+    rng = np.random.default_rng(1)
+    b, pcap, gcap = 3226, 128, 8
+    gt = np.zeros((b, gcap, 5), np.float32)
+    gt[..., 1:3] = rng.uniform(0, 400, (b, gcap, 2))
+    gt[..., 3:5] = rng.uniform(8, 80, (b, gcap, 2))
+    gm = rng.random((b, gcap)) < 0.6
+    pred = np.zeros((b, pcap, 5), np.float32)
+    pred[..., 0] = rng.uniform(0, 1, (b, pcap))
+    pred[:, :gcap, 1:5] = gt[..., 1:5] + rng.normal(0, 6, (b, gcap, 4))
+    pred[:, gcap:, 1:3] = rng.uniform(0, 400, (b, pcap - gcap, 2))
+    pred[:, gcap:, 3:5] = rng.uniform(8, 80, (b, pcap - gcap, 2))
+    pm = rng.random((b, pcap)) < 0.9
+    t0 = time.perf_counter()
+    ap = average_precision(pred, pm, gt, gm)
+    dt = time.perf_counter() - t0
+    assert 0.0 < ap < 1.0
+    assert dt < 30.0, f"AP at val scale took {dt:.1f}s"
