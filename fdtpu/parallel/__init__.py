@@ -13,6 +13,7 @@ from fdtpu.parallel.mesh import (  # noqa: F401
 from fdtpu.parallel.dp import (  # noqa: F401
     make_dp_eval_step,
     make_dp_train_step,
+    make_shardmap_dp_eval_step,
     make_shardmap_dp_train_step,
 )
 from fdtpu.parallel.multihost import (  # noqa: F401

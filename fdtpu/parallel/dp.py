@@ -19,22 +19,13 @@ The reference has no counterpart for any of this (single GPU, SURVEY.md §2.8).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from fdtpu.parallel.mesh import batch_sharding, replicate
 from fdtpu.train.state import TrainState
-from fdtpu.train.step import (
-    _encode_targets,
-    _loss_and_out,
-    _prepare_inputs,
-    make_eval_step,
-    make_train_step,
-)
+from fdtpu.train.step import make_eval_step, make_train_step
 from fdtpu.utils.config import TrainConfig
 
 
@@ -124,45 +115,30 @@ def make_shardmap_dp_train_step(
     mesh: Mesh,
     augment: bool = True,
     neg_pos_ratio: int = 10,
+    compute_metrics: bool = False,
+    nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
+    bg_push: float = 0.0,
 ):
-    """Explicit shard_map data-parallel step with a hand-placed gradient
-    ``pmean`` over the 'data' axis."""
-    image_size = (module.input_shape[1], module.input_shape[0])
-    assert mesh.axis_names == ("data",), "shard_map DP expects a 1-D data mesh"
+    """Explicit shard_map data-parallel step: the single-device step body
+    built with ``axis_name="data"`` (exact weighted gradient all-reduce,
+    psum'd loss, pmean'd batch stats — see ``fdtpu/train/step.py``), mapped
+    over the mesh with a per-shard rng fold.
+
+    Unlike the GSPMD path this runs Pallas kernels per-shard, so it is the
+    production step whenever the body contains a ``pallas_call`` (device
+    rotation, fused NMS metrics) that GSPMD cannot partition.
+    """
+    assert "data" in mesh.axis_names, "shard_map DP expects a 'data' mesh axis"
+    step_fn = make_train_step(
+        module, tx, config, augment=augment, neg_pos_ratio=neg_pos_ratio,
+        jit=False, compute_metrics=compute_metrics, nms_params=nms_params,
+        bg_push=bg_push, axis_name="data",
+    )
 
     def shard_fn(state: TrainState, images, boxes, box_mask, sample_mask, rng):
         # distinct augment/dropout streams per shard
-        shard_id = jax.lax.axis_index("data")
-        rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), shard_id)
-        aug_rng, drop_rng = jax.random.split(rng)
-        imgs, bx, bm = _prepare_inputs(images, boxes, box_mask, aug_rng, augment)
-        enc, gt_locs = _encode_targets(module, bx, bm, image_size)
-        loss_fn = lambda p: _loss_and_out(
-            module, p, state.batch_stats, imgs, enc, gt_locs,
-            drop_rng, True, neg_pos_ratio,
-        )
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        loss_sum, _, new_stats = aux
-        # THE collective: gradient all-reduce across chips over ICI.
-        grads = jax.lax.pmean(grads, axis_name="data")
-        if config.use_sam:
-            # second SAM point, again pmean'd so every chip steps identically
-            grad_norm = optax.global_norm(grads)
-            scale = config.sam_rho / (grad_norm + 1e-12)
-            perturbed = jax.tree_util.tree_map(
-                lambda p, g: p + g * scale, state.params, grads
-            )
-            (_, _), sam_grads = jax.value_and_grad(loss_fn, has_aux=True)(perturbed)
-            grads = jax.lax.pmean(sam_grads, axis_name="data")
-        loss_sum = jax.lax.psum(loss_sum, axis_name="data")
-        new_stats = jax.lax.pmean(new_stats, axis_name="data") if new_stats else new_stats
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=params,
-            batch_stats=new_stats, opt_state=opt_state,
-        )
-        return new_state, {"loss": loss_sum, "grad_norm": optax.global_norm(grads)}
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        return step_fn(state, images, boxes, box_mask, sample_mask, rng)
 
     rep_spec = P()
     mapped = jax.shard_map(
@@ -173,3 +149,35 @@ def make_shardmap_dp_train_step(
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_shardmap_dp_eval_step(
+    module,
+    config: TrainConfig | None,
+    mesh: Mesh,
+    nms_params: tuple[float, float, int] = (0.5, 0.5, 64),
+    return_boxes: bool = False,
+    neg_pos_ratio: int = 10,
+    bg_push: float = 0.0,
+    pallas_nms: bool | None = None,
+):
+    """shard_map eval twin of :func:`make_dp_eval_step` — unlike GSPMD it can
+    keep the fused Pallas decode+NMS (it runs per-shard). Scalars come back
+    replicated (valid-count-weighted cross-shard means); decoded boxes stay
+    batch-sharded."""
+    assert "data" in mesh.axis_names
+    step_fn = make_eval_step(
+        module, config, nms_params=nms_params, return_boxes=return_boxes,
+        neg_pos_ratio=neg_pos_ratio, jit=False, pallas_nms=pallas_nms,
+        bg_push=bg_push, axis_name="data",
+    )
+    rep = P()
+    out_specs = (rep, (P("data"), P("data"))) if return_boxes else rep
+    mapped = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(rep, P("data"), P("data"), P("data"), P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -68,11 +68,7 @@ class Trainer:
         self.mesh = None
         dp = config.data_parallel
         if dp is not None and dp != 0 and dp != 1:
-            # Data parallelism over a 1-D 'data' mesh: the same step body,
-            # GSPMD-jitted with batch-sharded inputs; XLA places the gradient
-            # all-reduce on ICI (the north star's "jit/pmap step doing
-            # gradient allreduce", SURVEY.md §2.8).
-            from fdtpu.parallel import make_dp_eval_step, make_dp_train_step, make_mesh
+            from fdtpu.parallel import make_mesh
 
             n = len(jax.devices()) if dp == -1 else dp
             if train_loader.batch_size % n:
@@ -81,6 +77,39 @@ class Trainer:
                     f"mesh size (got batch_size={train_loader.batch_size})"
                 )
             self.mesh = make_mesh(n)
+        # shard_map family: required whenever the step body contains a
+        # pallas_call (device rotation) or the epoch runs as a device-side
+        # scan over HBM-resident shards (device_data / steps_per_dispatch)
+        # — GSPMD has no partitioning rule for pallas_call and would
+        # all-gather the batch onto every chip (fdtpu/parallel/dp.py).
+        self._use_shardmap = self.mesh is not None and (
+            config.rotate_device
+            or config.device_data
+            or config.steps_per_dispatch > 1
+        )
+        if self.mesh is not None and self._use_shardmap:
+            from fdtpu.parallel import (
+                make_shardmap_dp_eval_step,
+                make_shardmap_dp_train_step,
+            )
+
+            self.train_step = make_shardmap_dp_train_step(
+                module, self.tx, config, self.mesh, augment=augment,
+                neg_pos_ratio=neg_pos_ratio, bg_push=bg_push,
+                nms_params=nms_params,
+            )
+            self.eval_step = make_shardmap_dp_eval_step(
+                module, config, self.mesh, nms_params=nms_params,
+                return_boxes=True, neg_pos_ratio=neg_pos_ratio,
+                bg_push=bg_push,
+            )
+        elif self.mesh is not None:
+            # Data parallelism over a 1-D 'data' mesh: the same step body,
+            # GSPMD-jitted with batch-sharded inputs; XLA places the gradient
+            # all-reduce on ICI (the north star's "jit/pmap step doing
+            # gradient allreduce", SURVEY.md §2.8).
+            from fdtpu.parallel import make_dp_eval_step, make_dp_train_step
+
             self.train_step = make_dp_train_step(
                 module, self.tx, config, self.mesh, augment=augment,
                 neg_pos_ratio=neg_pos_ratio, bg_push=bg_push,
@@ -109,6 +138,10 @@ class Trainer:
         # the full group and the epoch remainder). device_data: stage the
         # whole dataset into HBM once and run each epoch as a single scan
         # with an on-device shuffle — zero host traffic from epoch 2 on.
+        # Both compose with data_parallel: the staged arrays are batch-
+        # sharded over the 'data' mesh axis and the scans run under
+        # shard_map with the axis_name step (per-shard Pallas, exact
+        # cross-shard gradient reduction).
         self._raw_train_step = None
         self._scan_steps: dict[int, callable] = {}
         self._device_ds = None
@@ -118,19 +151,18 @@ class Trainer:
         # for the Trainer's lifetime)
         self._device_val: dict[object, tuple] = {}
         self._device_eval_jit: dict[object, callable] = {}
-        if (config.steps_per_dispatch > 1 or config.device_data) \
-                and self.mesh is not None:
+        if config.device_data and getattr(jax, "process_count", lambda: 1)() > 1:
             raise ValueError(
-                "steps_per_dispatch>1 / device_data are single-device paths "
-                "and would be silently ignored under data_parallel — drop "
-                "one of the options"
+                "device_data stages the dataset from this process's host "
+                "memory and is single-controller only; under --multihost "
+                "use the streamed per-process feed"
             )
-        if (config.steps_per_dispatch > 1 or config.device_data) \
-                and self.mesh is None:
+        if config.steps_per_dispatch > 1 or config.device_data:
             self._raw_train_step = make_train_step(
                 module, self.tx, config, augment=augment,
                 compute_metrics=False, nms_params=nms_params,
                 neg_pos_ratio=neg_pos_ratio, bg_push=bg_push, jit=False,
+                axis_name="data" if self._use_shardmap else None,
             )
 
     def _scan_train_step(self, n: int):
@@ -138,7 +170,11 @@ class Trainer:
         losses. Takes the ``n`` batches as FLAT per-batch arrays (already
         device_put asynchronously as they streamed off the loader) and
         stacks them on device: a single host-side stacked transfer measured
-        ~5x slower than overlapped per-batch puts through the axon tunnel."""
+        ~5x slower than overlapped per-batch puts through the axon tunnel.
+
+        Under ``data_parallel`` the whole scan runs inside ``shard_map``:
+        each shard scans its batch slice with the ``axis_name`` step (exact
+        cross-shard gradient all-reduce per step)."""
         if n not in self._scan_steps:
             raw = self._raw_train_step
 
@@ -152,7 +188,24 @@ class Trainer:
                     return s, scalars["loss"]
                 return jax.lax.scan(body, state, xs)
 
-            self._scan_steps[n] = jax.jit(scan_fn, donate_argnums=(0,))
+            if self._use_shardmap:
+                from jax.sharding import PartitionSpec as P
+
+                def sharded_scan(state, rng, *flat):
+                    rng = jax.random.fold_in(
+                        rng, jax.lax.axis_index("data")
+                    )
+                    return scan_fn(state, rng, *flat)
+
+                fn = jax.shard_map(
+                    sharded_scan, mesh=self.mesh,
+                    in_specs=(P(), P()) + (P("data"),) * (4 * n),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+            else:
+                fn = scan_fn
+            self._scan_steps[n] = jax.jit(fn, donate_argnums=(0,))
         return self._scan_steps[n]
 
     def _metrics_train_step(self):
@@ -161,7 +214,16 @@ class Trainer:
         ``ModelMeta.py:258-287``) — used on the final batch of each epoch
         only, so the per-epoch cost is one decode+NMS, not a per-step sync."""
         if self._train_step_metrics is None:
-            if self.mesh is not None:
+            if self.mesh is not None and self._use_shardmap:
+                from fdtpu.parallel import make_shardmap_dp_train_step
+
+                self._train_step_metrics = make_shardmap_dp_train_step(
+                    self.module, self.tx, self.config, self.mesh,
+                    augment=self._augment, neg_pos_ratio=self._neg_pos_ratio,
+                    compute_metrics=True, nms_params=self._nms_params,
+                    bg_push=self._bg_push,
+                )
+            elif self.mesh is not None:
                 from fdtpu.parallel import make_dp_train_step
 
                 self._train_step_metrics = make_dp_train_step(
@@ -219,7 +281,7 @@ class Trainer:
         return self._train_epoch_body()
 
     def _train_epoch_body(self) -> dict:
-        if self.config.device_data and self.mesh is None:
+        if self.config.device_data:
             return self._train_epoch_device()
         if self._raw_train_step is not None:
             return self._train_epoch_scan(self.config.steps_per_dispatch)
@@ -286,7 +348,9 @@ class Trainer:
         HBM-resident ``(N, ...)`` arrays (WIDERFace train at 320px is
         ~3.9 GB of a v5e's 16 GB). After this, epochs never touch the host
         — the answer to host-transfer-bound links (the axon tunnel moves
-        ~22 MB/s; a 320px b128 batch is 37 MB)."""
+        ~22 MB/s; a 320px b128 batch is 37 MB). Under ``data_parallel`` the
+        arrays are staged batch-sharded over the 'data' mesh axis, so the
+        fastest feed and the scaling path compose."""
         if self._device_ds is None:
             src = self.train_loader.source
             if getattr(src, "rotate_prob", 0.0):
@@ -304,40 +368,103 @@ class Trainer:
             self._device_ds = self._stage_from_source(self.train_loader)
         return self._device_ds
 
-    @staticmethod
-    def _stage_from_source(loader):
-        """Stage a loader's source as resident arrays, honoring the loader's
-        batch semantics: ``drop_last`` truncates to whole batches (the train
-        convention); otherwise the tail batch is padded with repeats and
-        masked out via ``sample_mask`` — byte-matching the streamed
-        ``BatchLoader`` so resident eval covers every sample."""
+    def _stage_from_source(self, loader):
+        """Stage a loader's source as resident arrays.
+
+        ALL ``n`` samples are staged (padded to whole batches with repeats
+        of the last sample, masked via ``sample_mask``); the loader's
+        ``drop_last``/``epoch_fraction`` truncation is applied per epoch
+        AFTER the on-device permutation, so dropped samples rotate across
+        epochs exactly like the streamed ``BatchLoader._indices``.
+
+        Layout: flat ``(N, ...)`` single-device; ``(num_batches, B, ...)``
+        sharded ``P(None, 'data')`` under a mesh — each staged chunk IS a
+        streamed batch, so global batch ``i`` has identical composition in
+        both layouts, and each device permanently holds its ``B/n`` lane
+        slice of every batch (no resharding, H2D goes straight to the
+        owning device)."""
         src = loader.source
         batch = loader.batch_size
         n = len(src)
-        drop_last = bool(getattr(loader, "drop_last", False))
-        n_real = (n // batch) * batch if drop_last else n
-        n_total = ((n_real + batch - 1) // batch) * batch
+        n_total = ((n + batch - 1) // batch) * batch
         parts: list[list] = [[], [], []]
-        for start in range(0, n_real, batch):
+        if self.mesh is not None:
+            from fdtpu.parallel import batch_sharding
+
+            put = lambda a: jax.device_put(a, batch_sharding(self.mesh, a.ndim))
+        else:
+            put = jax.device_put
+        for start in range(0, n_total, batch):
             idx = np.minimum(
-                np.arange(start, start + batch), n_real - 1
+                np.arange(start, start + batch), n - 1
             )  # tail batch repeats the last sample (BatchLoader padding)
             samples = (
                 src.get_batch(idx) if hasattr(src, "get_batch")
                 else [src.get(int(i)) for i in idx]
             )
             for i in range(3):
-                parts[i].append(jax.device_put(
+                parts[i].append(put(
                     np.stack([s[i] for s in samples])
                 ))  # async H2D
-        sample_mask = np.zeros((n_total,), bool)
-        sample_mask[:n_real] = True
+        sample_mask = np.arange(n_total) < n
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def assemble(chunks, dtype=None):
+                spec = P(*([None, "data"] + [None] * (chunks[0].ndim - 1)))
+                fn = jax.jit(
+                    lambda *xs: jnp.stack(xs).astype(dtype)
+                    if dtype else jnp.stack(xs),
+                    out_shardings=NamedSharding(self.mesh, spec),
+                )
+                return fn(*chunks)
+
+            sm = jax.device_put(
+                sample_mask.reshape(-1, batch),
+                NamedSharding(self.mesh, P(None, "data")),
+            )
+            return (
+                assemble(parts[0]),
+                assemble(parts[1], jnp.float32),
+                assemble(parts[2]),
+                sm,
+                n,
+            )
         return (
             jnp.concatenate(parts[0]),
             jnp.concatenate(parts[1]).astype(jnp.float32),
             jnp.concatenate(parts[2]),
             jnp.asarray(sample_mask),
+            n,
         )
+
+    def _epoch_batches(self, loader, n_real: int) -> int:
+        """Batches per resident epoch, matching ``BatchLoader.__len__``:
+        ``epoch_fraction`` then ``drop_last`` truncation (ceil otherwise —
+        the padded tail rows sort last in the epoch permutation, so the
+        final batch is exactly the streamed padded tail)."""
+        batch = loader.batch_size
+        ef = getattr(loader, "epoch_fraction", 1) or 1
+        n_eff = n_real // ef
+        if bool(getattr(loader, "drop_last", False)):
+            return max(1, n_eff // batch)
+        return max(1, (n_eff + batch - 1) // batch)
+
+    @staticmethod
+    def _epoch_perm(key, sample_mask, shuffle: bool):
+        """Permutation with every REAL row before every padded row (random
+        among real rows when shuffling, source order otherwise) — so
+        truncating to ``nb * batch`` rows drops pads first and the dropped
+        real samples rotate with the epoch key."""
+        n = sample_mask.shape[0]
+        if shuffle:
+            scores = jnp.where(
+                sample_mask, jax.random.uniform(key, (n,)), 2.0
+            )
+        else:
+            ar = jnp.arange(n, dtype=jnp.float32)
+            scores = jnp.where(sample_mask, ar, ar + n)
+        return jnp.argsort(scores)
 
     def _device_epoch(self, nb: int, batch: int):
         """Jitted whole-epoch scan over the resident dataset: gather each
@@ -362,42 +489,115 @@ class Trainer:
             )
         return self._device_epoch_jit[key]
 
+    def _device_epoch_sharded(self, nb: int, batch: int):
+        """shard_map whole-epoch scan over the batch-sharded resident
+        dataset (the composition of ``device_data`` and ``data_parallel``):
+        each shard flattens its ``(num_batches, B/n, ...)`` slice, draws a
+        per-shard real-first permutation (a stratified epoch shuffle — every
+        global batch takes ``B/n`` rows from each shard's resident pool,
+        which never moves), and scans the ``axis_name`` train step — the
+        gradient all-reduce inside the step is the only cross-chip traffic.
+        Returns ``(state, per-step losses, final batch tensors)``; the final
+        batch comes back batch-sharded for the outer metrics step."""
+        key = (nb, batch)
+        if key not in self._device_epoch_jit:
+            from jax.sharding import PartitionSpec as P
+
+            raw = self._raw_train_step
+            n_mesh = self.mesh.shape["data"]
+            p = batch // n_mesh
+            shuffle = bool(getattr(self.train_loader, "shuffle", False))
+
+            def epoch_fn(state, rng, perm_key, imgs, boxes, bm, sm):
+                sid = jax.lax.axis_index("data")
+                rng = jax.random.fold_in(rng, sid)
+                flat = lambda a: a.reshape((-1,) + a.shape[2:])
+                imgs, boxes, bm, sm = map(flat, (imgs, boxes, bm, sm))
+                perm = Trainer._epoch_perm(
+                    jax.random.fold_in(perm_key, sid), sm, shuffle
+                )
+
+                def body(s, i):
+                    sel = jax.lax.dynamic_slice_in_dim(perm, i * p, p)
+                    s, scalars = raw(
+                        s, imgs[sel], boxes[sel], bm[sel], sm[sel], rng
+                    )
+                    return s, scalars["loss"]
+
+                state, losses = jax.lax.scan(
+                    body, state, jnp.arange(nb - 1)
+                )
+                fsel = jax.lax.dynamic_slice_in_dim(perm, (nb - 1) * p, p)
+                final = (imgs[fsel], boxes[fsel], bm[fsel], sm[fsel])
+                return state, losses, final
+
+            mapped = jax.shard_map(
+                epoch_fn, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(None, "data"), P(None, "data"),
+                          P(None, "data"), P(None, "data")),
+                out_specs=(P(), P(), (P("data"), P("data"), P("data"),
+                                      P("data"))),
+                check_vma=False,
+            )
+            self._device_epoch_jit[key] = jax.jit(
+                mapped, donate_argnums=(0,)
+            )
+        return self._device_epoch_jit[key]
+
     def _train_epoch_device(self) -> dict:
-        imgs, boxes, bm, sm = self._stage_device_dataset()
+        imgs, boxes, bm, sm, n_real = self._stage_device_dataset()
         batch = self.train_loader.batch_size
-        n = imgs.shape[0]
-        ef = getattr(self.train_loader, "epoch_fraction", 1) or 1
-        nb = max(1, (n // ef) // batch)
+        nb = self._epoch_batches(self.train_loader, n_real)
         shuffle = bool(getattr(self.train_loader, "shuffle", False))
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.config.seed + 2), self.epoch
         )
-        perm = (
-            jax.random.permutation(key, n) if shuffle else jnp.arange(n)
-        )
-        if self.config.visualize_first_batch:
-            sel0 = perm[:batch]
-            _, (pred_boxes, pred_mask) = self.eval_step(
-                self.state, imgs[sel0], boxes[sel0], bm[sel0], sm[sel0]
+        if self.mesh is not None:
+            if self.config.visualize_first_batch and self._can_visualize(imgs):
+                # render staged batch 0 (sample 0 of the dataset)
+                _, (pred_boxes, pred_mask) = self.eval_step(
+                    self.state, imgs[0], boxes[0], bm[0], sm[0]
+                )
+                draw_bbx(
+                    np.asarray(imgs[0])[0],
+                    np.asarray(pred_boxes[0]),
+                    mask=np.asarray(pred_mask[0]),
+                    save_name=f"train_epoch_{self.epoch}",
+                )
+            self.state, scan_losses, final = self._device_epoch_sharded(
+                nb, batch
+            )(self.state, self.rng, key, imgs, boxes, bm, sm)
+            step = (
+                self._metrics_train_step()
+                if self.config.train_metrics else self.train_step
             )
-            draw_bbx(
-                np.asarray(imgs[sel0][0]),
-                np.asarray(pred_boxes[0]),
-                mask=np.asarray(pred_mask[0]),
-                save_name=f"train_epoch_{self.epoch}",
+            self.state, scalars = step(self.state, *final, self.rng)
+        else:
+            perm = self._epoch_perm(key, sm, shuffle)
+            if self.config.visualize_first_batch:
+                sel0 = perm[:batch]
+                _, (pred_boxes, pred_mask) = self.eval_step(
+                    self.state, imgs[sel0], boxes[sel0], bm[sel0], sm[sel0]
+                )
+                draw_bbx(
+                    np.asarray(imgs[sel0][0]),
+                    np.asarray(pred_boxes[0]),
+                    mask=np.asarray(pred_mask[0]),
+                    save_name=f"train_epoch_{self.epoch}",
+                )
+            self.state, scan_losses = self._device_epoch(nb, batch)(
+                self.state, self.rng, perm, imgs, boxes, bm, sm
             )
-        self.state, scan_losses = self._device_epoch(nb, batch)(
-            self.state, self.rng, perm, imgs, boxes, bm, sm
-        )
-        # final batch via the metrics step (train-epoch iou/recall/precision)
-        sel = jax.lax.dynamic_slice_in_dim(perm, (nb - 1) * batch, batch)
-        step = (
-            self._metrics_train_step()
-            if self.config.train_metrics else self.train_step
-        )
-        self.state, scalars = step(
-            self.state, imgs[sel], boxes[sel], bm[sel], sm[sel], self.rng
-        )
+            # final batch via the metrics step (train-epoch iou/recall/
+            # precision)
+            sel = jax.lax.dynamic_slice_in_dim(perm, (nb - 1) * batch, batch)
+            step = (
+                self._metrics_train_step()
+                if self.config.train_metrics else self.train_step
+            )
+            self.state, scalars = step(
+                self.state, imgs[sel], boxes[sel], bm[sel], sm[sel], self.rng
+            )
         losses = np.concatenate([
             np.atleast_1d(jax.device_get(scan_losses)),
             np.atleast_1d(jax.device_get(scalars["loss"])),
@@ -469,8 +669,16 @@ class Trainer:
                     save_name=f"train_epoch_{self.epoch}",
                 )
             if bi < group_target:
+                if self.mesh is not None:
+                    from fdtpu.parallel import batch_sharding
+
+                    put = lambda a: jax.device_put(
+                        a, batch_sharding(self.mesh, a.ndim)
+                    )
+                else:
+                    put = jax.device_put
                 buf.append(tuple(
-                    jax.device_put(a) for a in (
+                    put(a) for a in (
                         batch.images, batch.boxes,
                         batch.box_mask, batch.sample_mask,
                     )
@@ -506,40 +714,71 @@ class Trainer:
         """HBM-resident eval epoch: one scan over the staged loader's
         batches (contiguous slices — no permutation), per-batch scalars
         averaged on device. A streamed 320px validation pass moves ~37 MB
-        per batch over the host link every epoch; staged, it moves zero."""
+        per batch over the host link every epoch; staged, it moves zero.
+        Under a mesh the staged batches are lane-sharded and the scan runs
+        in ``shard_map`` with the ``axis_name`` eval step (cross-shard
+        weighted metric reduction inside)."""
         key = loader  # object key: strong ref pins ids + staged arrays
         if key not in self._device_val:
             self._device_val[key] = self._stage_from_source(loader)
-        imgs, boxes, bm, sm = self._device_val[key]
+        imgs, boxes, bm, sm, n_real = self._device_val[key]
         batch = loader.batch_size
-        nb = imgs.shape[0] // batch
+        # honor the loader's drop_last (pads only ever sit in the last chunk)
+        nb = self._epoch_batches(loader, n_real)
         if key not in self._device_eval_jit:
-            raw_eval = make_eval_step(
-                self.module, self.config, nms_params=self._nms_params,
-                return_boxes=False, neg_pos_ratio=self._neg_pos_ratio,
-                bg_push=self._bg_push, jit=False,
-            )
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                raw_eval = make_eval_step(
+                    self.module, self.config, nms_params=self._nms_params,
+                    return_boxes=False, neg_pos_ratio=self._neg_pos_ratio,
+                    bg_push=self._bg_push, jit=False, axis_name="data",
+                )
 
-            def eval_fn(state, imgs, boxes, bm, sm):
-                def body(_, i):
-                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
-                        a, i * batch, batch
-                    )
-                    return _, raw_eval(
-                        state, sl(imgs), sl(boxes), sl(bm), sl(sm)
-                    )
-                _, scalars = jax.lax.scan(body, None, jnp.arange(nb))
-                return {k: v.mean() for k, v in scalars.items()}
+                def eval_fn(state, imgs, boxes, bm, sm):
+                    def body(_, i):
+                        return _, raw_eval(
+                            state, imgs[i], boxes[i], bm[i], sm[i]
+                        )
+                    _, scalars = jax.lax.scan(body, None, jnp.arange(nb))
+                    return {k: v.mean() for k, v in scalars.items()}
 
-            self._device_eval_jit[key] = jax.jit(eval_fn)
+                mapped = jax.shard_map(
+                    eval_fn, mesh=self.mesh,
+                    in_specs=(P(), P(None, "data"), P(None, "data"),
+                              P(None, "data"), P(None, "data")),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+                self._device_eval_jit[key] = jax.jit(mapped)
+            else:
+                raw_eval = make_eval_step(
+                    self.module, self.config, nms_params=self._nms_params,
+                    return_boxes=False, neg_pos_ratio=self._neg_pos_ratio,
+                    bg_push=self._bg_push, jit=False,
+                )
+
+                def eval_fn(state, imgs, boxes, bm, sm):
+                    def body(_, i):
+                        sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                            a, i * batch, batch
+                        )
+                        return _, raw_eval(
+                            state, sl(imgs), sl(boxes), sl(bm), sl(sm)
+                        )
+                    _, scalars = jax.lax.scan(body, None, jnp.arange(nb))
+                    return {k: v.mean() for k, v in scalars.items()}
+
+                self._device_eval_jit[key] = jax.jit(eval_fn)
         scalars = self._device_eval_jit[key](self.state, imgs, boxes, bm, sm)
-        if self.config.visualize_first_batch:
-            _, (pred_boxes, pred_mask) = self.eval_step(
-                self.state, imgs[:batch], boxes[:batch], bm[:batch],
-                sm[:batch],
+        if self.config.visualize_first_batch and self._can_visualize(imgs):
+            first = (
+                (imgs[0], boxes[0], bm[0], sm[0]) if self.mesh is not None
+                else (imgs[:batch], boxes[:batch], bm[:batch], sm[:batch])
             )
+            _, (pred_boxes, pred_mask) = self.eval_step(self.state, *first)
             draw_bbx(
-                np.asarray(imgs[0]),
+                np.asarray(first[0])[0] if self.mesh is not None
+                else np.asarray(imgs[0]),
                 np.asarray(pred_boxes[0]),
                 mask=np.asarray(pred_mask[0]),
                 save_name=f"{split}_epoch_{self.epoch}",
@@ -554,7 +793,7 @@ class Trainer:
         loader = loader or self.val_loader
         if loader is None:
             return {}
-        if self.config.device_data and self.mesh is None:
+        if self.config.device_data:
             return self._eval_epoch_device(loader, split)
         agg: dict[str, list] = {}
         first = True

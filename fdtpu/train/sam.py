@@ -24,17 +24,27 @@ import jax
 import optax
 
 
-def sam_gradients(loss_fn, params, rho: float):
+def sam_gradients(loss_fn, params, rho: float, grad_reduce=None):
     """Two-point SAM gradient.
 
     ``loss_fn(params) -> (loss, aux)``. Returns ``(loss, aux, grads)`` where
     ``loss``/``aux`` are evaluated at the original point (like the reference's
     ``step()`` return, ``ModelMeta.py:50-51``) and ``grads`` at
     ``params + rho * g / ||g||``.
+
+    ``grad_reduce`` (optional) is applied to BOTH gradient evaluations —
+    under SPMD (``shard_map``) it is the cross-shard all-reduce, placed
+    inside so the perturbation direction is computed from the *global*
+    gradient exactly as a single device would (matching the explicit twin
+    in ``fdtpu/parallel/dp.py``).
     """
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if grad_reduce is not None:
+        grads = grad_reduce(grads)
     grad_norm = optax.global_norm(grads)
     scale = rho / (grad_norm + 1e-12)
     perturbed = jax.tree_util.tree_map(lambda p, g: p + g * scale, params, grads)
     (_, _), sam_grads = jax.value_and_grad(loss_fn, has_aux=True)(perturbed)
+    if grad_reduce is not None:
+        sam_grads = grad_reduce(sam_grads)
     return loss, aux, sam_grads

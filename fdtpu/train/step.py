@@ -153,6 +153,39 @@ def _loss_and_out(module, params, batch_stats, images, enc, gt_locs,
     return mean, (loss_sum, out, new_stats)
 
 
+def _grad_all_reduce(axis_name: str | None, norm):
+    """Cross-shard gradient all-reduce that reproduces the single-device
+    batch-mean gradient EXACTLY: each shard's mean-loss gradient is
+    un-normalized by its own weight (``max(norm_local, 1)`` — the divisor
+    ``_loss_and_out`` applied), psum'd, and re-normalized by the *global*
+    divisor ``max(psum(norm), 1)``. Plain ``pmean`` is only exact when every
+    shard has the same weight; this form also matches under partial batches
+    (uneven ``sample_mask``) and SSD's num-positives normalization."""
+    if axis_name is None:
+        return None
+    norm = norm.astype(jnp.float32)
+    w_local = jnp.maximum(norm, 1.0)
+    denom = jnp.maximum(jax.lax.psum(norm, axis_name), 1.0)
+
+    def reduce(grads):
+        scaled = jax.tree_util.tree_map(lambda g: g * w_local.astype(g.dtype), grads)
+        summed = jax.lax.psum(scaled, axis_name)
+        return jax.tree_util.tree_map(
+            lambda g: g / denom.astype(g.dtype), summed
+        )
+
+    return reduce
+
+
+def _loss_norm(module, enc, sample_mask):
+    """The divisor ``_loss_and_out`` uses to turn the summed loss into the
+    gradient loss: valid-sample count (YOLO) or positive-prior count (SSD,
+    ``SSDLoss.py:85-86`` — computed on the padded-sample-zeroed labels)."""
+    if is_ssd(module):
+        return jnp.sum((enc[..., 0] > 0) & sample_mask[:, None])
+    return jnp.sum(sample_mask)
+
+
 def make_train_step(
     module,
     tx: optax.GradientTransformation,
@@ -164,6 +197,7 @@ def make_train_step(
     jit: bool = True,
     pallas_nms: bool | None = None,
     bg_push: float = 0.0,
+    axis_name: str | None = None,
 ) -> Callable:
     """Build the jitted training step.
 
@@ -171,6 +205,14 @@ def make_train_step(
     sample_mask, rng) -> (state, scalars dict)``. ``jit=False`` returns the
     raw traceable function (for embedding in ``lax.scan`` step-batching or a
     custom pjit wrapper).
+
+    ``axis_name``: when set, the step is an SPMD *per-shard* body meant to
+    run under ``shard_map`` over that mesh axis — gradients are all-reduced
+    across shards (exact batch-mean semantics, inside SAM's two points),
+    the reported ``loss`` is psum'd, batch stats are pmean'd, and detection
+    metrics are valid-count-weighted across shards. The caller is
+    responsible for feeding a distinct ``rng`` per shard (fold in
+    ``jax.lax.axis_index``) so augmentation/dropout streams differ.
     """
     image_size = (module.input_shape[1], module.input_shape[0])
     prob, iou_thr, capacity = nms_params
@@ -187,13 +229,24 @@ def make_train_step(
             module, p, state.batch_stats, imgs, enc, gt_locs,
             drop_rng, True, neg_pos_ratio, sample_mask, bg_push,
         )
+        grad_reduce = _grad_all_reduce(
+            axis_name, _loss_norm(module, enc, sample_mask)
+        )
         if config.use_sam:
-            loss, aux, grads = sam_gradients(loss_fn, state.params, config.sam_rho)
+            loss, aux, grads = sam_gradients(
+                loss_fn, state.params, config.sam_rho, grad_reduce=grad_reduce
+            )
         else:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
+            if grad_reduce is not None:
+                grads = grad_reduce(grads)
         loss_sum, out, new_stats = aux
+        if axis_name is not None:
+            loss_sum = jax.lax.psum(loss_sum, axis_name)
+            if new_stats:
+                new_stats = jax.lax.pmean(new_stats, axis_name)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -208,12 +261,23 @@ def make_train_step(
             pred_boxes, pred_mask = _decode_predictions(
                 module, out, image_size, prob, iou_thr, capacity, pallas_nms
             )
-            scalars.update(
-                detection_metrics(pred_boxes, pred_mask, bx, bm, sample_mask)
-            )
+            det = detection_metrics(pred_boxes, pred_mask, bx, bm, sample_mask)
+            if axis_name is not None:
+                det = _weighted_metric_reduce(det, sample_mask, axis_name)
+            scalars.update(det)
         return new_state, scalars
 
     return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
+
+
+def _weighted_metric_reduce(det: dict, sample_mask, axis_name: str) -> dict:
+    """Cross-shard reduction of per-shard detection metrics: each metric is a
+    mean over the shard's valid samples, so the global mean is the
+    valid-count-weighted psum (exactly what one device computing the full
+    batch would report)."""
+    n = jnp.sum(sample_mask).astype(jnp.float32)
+    total = jnp.maximum(jax.lax.psum(n, axis_name), 1.0)
+    return {k: jax.lax.psum(v * n, axis_name) / total for k, v in det.items()}
 
 
 def make_eval_step(
@@ -225,6 +289,7 @@ def make_eval_step(
     jit: bool = True,
     pallas_nms: bool | None = None,
     bg_push: float = 0.0,
+    axis_name: str | None = None,
 ) -> Callable:
     """Build the jitted eval step (``validation_step``/``test_step``
     equivalent, ``ModelMeta.py:233-239``): loss + reference metrics, and
@@ -232,7 +297,12 @@ def make_eval_step(
 
     ``pallas_nms=False`` forces the pure-XLA decode path — required under
     GSPMD batch sharding, where ``pallas_call`` has no partitioning rule
-    (see ``fdtpu/parallel/dp.py:make_dp_eval_step``).
+    (see ``fdtpu/parallel/dp.py:make_dp_eval_step``). Under ``shard_map``
+    (``axis_name`` set) the Pallas kernel runs per-shard and stays usable.
+
+    ``axis_name``: per-shard SPMD body for ``shard_map`` — the loss is
+    psum'd and detection metrics are valid-count-weighted across shards;
+    returned boxes (if any) stay shard-local (batch-sharded outside).
     """
     image_size = (module.input_shape[1], module.input_shape[0])
     prob, iou_thr, capacity = nms_params
@@ -249,7 +319,11 @@ def make_eval_step(
             module, out, image_size, prob, iou_thr, capacity, pallas_nms
         )
         scalars = {"loss": loss_sum}
-        scalars.update(detection_metrics(pred_boxes, pred_mask, bx, bm, sample_mask))
+        det = detection_metrics(pred_boxes, pred_mask, bx, bm, sample_mask)
+        if axis_name is not None:
+            scalars["loss"] = jax.lax.psum(loss_sum, axis_name)
+            det = _weighted_metric_reduce(det, sample_mask, axis_name)
+        scalars.update(det)
         if return_boxes:
             return scalars, (pred_boxes, pred_mask)
         return scalars

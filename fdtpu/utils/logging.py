@@ -16,13 +16,28 @@ import time
 from pathlib import Path
 
 
+def _is_primary_process() -> bool:
+    """Only process 0 owns the log/TB artifacts under --multihost (every
+    process computes identical replicated metrics; N writers to one file
+    would interleave/duplicate)."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class MetricLogger:
     def __init__(self, log_path: str | Path = "logs/out.log",
                  tensorboard: bool = True):
+        self.primary = _is_primary_process()
         self.log_path = Path(log_path)
-        self.log_path.parent.mkdir(parents=True, exist_ok=True)
         self.jsonl_path = self.log_path.with_suffix(".jsonl")
         self._tb = None
+        if not self.primary:
+            return
+        self.log_path.parent.mkdir(parents=True, exist_ok=True)
         if tensorboard:
             from fdtpu.utils.tb import EventWriter
 
@@ -35,6 +50,8 @@ class MetricLogger:
             f"{k}={float(v):.6f}" for k, v in metrics.items()
         ]
         line = "  ".join(parts)
+        if not self.primary:
+            return line
         print(line)
         with self.log_path.open("a") as f:
             f.write(line + "\n")

@@ -1,0 +1,304 @@
+"""SSD generalization CONTROL (round-2 VERDICT weak-item 1).
+
+fdtpu's synthetic-generalization experiment measured AP@0.5 = 0.208 for
+SSD-16 vs 0.924 for the YOLO flagship on the same data, and BASELINE.md
+attributes the gap to the reference's per-prior hard-negative-mining
+objective (``/root/reference/losses/SSDLoss.py:56-86``,
+``train_model_ssd.py:10-61``). This script runs the control: the
+architecture-identical TORCH SSD (``RefEquivalentSSD`` from
+``torch_cpu_baseline.py``) trained on the same synthetic dataset with the
+same objective, decoded and scored through the SAME fdtpu decode+AP code
+(jax CPU) — so any large AP difference would indicate an fdtpu port bug
+rather than an objective pathology.
+
+The full 320px/1024-image fdtpu run is infeasible on this 1-core CPU
+(~13 img/s -> half a day), so the control runs a shrunk config and the
+companion ``--fdtpu`` mode runs fdtpu at the IDENTICAL shrunk config for an
+apples-to-apples pair.
+
+Usage:
+  python scripts/torch_ssd_control.py            # torch control (CPU)
+  python scripts/torch_ssd_control.py --fdtpu    # same config through fdtpu
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SIZE = 160
+N_TRAIN = 256
+N_VAL = 128
+BATCH = 32
+EPOCHS = 60
+LR = 1e-3
+NEG_POS = 10
+CAPACITY = 64
+PROB_THR, IOU_THR = 0.5, 0.5
+
+
+def _data(tmp):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from fdtpu.data import (
+        BatchLoader,
+        WIDERFaceDataSource,
+        load_targets,
+        make_synthetic_widerface,
+    )
+
+    root_tr = make_synthetic_widerface(
+        Path(tmp) / "tr", num_images=N_TRAIN, max_faces=2, seed=0
+    )
+    root_va = make_synthetic_widerface(
+        Path(tmp) / "va", num_images=N_VAL, max_faces=2, seed=1
+    )
+    tr = WIDERFaceDataSource(
+        load_targets(root_tr, "train", max_faces=3), (SIZE, SIZE), 8,
+        error_log=None,
+    )
+    va = WIDERFaceDataSource(
+        load_targets(root_va, "train", max_faces=3), (SIZE, SIZE), 8,
+        error_log=None,
+    )
+    return (
+        BatchLoader(tr, BATCH, shuffle=True, seed=0, drop_last=True),
+        BatchLoader(va, BATCH),
+    )
+
+
+def _encode_batch_np(boxes, box_mask, patch_sizes):
+    """fdtpu's SSD target encoding + prior application (the coordinate-fixed
+    objective both frameworks train against), on jax CPU -> numpy."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdtpu.core.priors import (
+        apply_priors,
+        calculate_priors,
+        encode_ssd_targets,
+        prior_scales,
+    )
+
+    enc = jax.vmap(
+        lambda b, m: encode_ssd_targets(b, m, patch_sizes, (SIZE, SIZE))
+    )(jnp.asarray(boxes), jnp.asarray(box_mask))
+    priors = calculate_priors(patch_sizes, dtype=enc.dtype)
+    scales = prior_scales(patch_sizes, dtype=enc.dtype)
+    gt_locs = apply_priors(enc, priors, scales)[..., 1:5]
+    return np.asarray(enc[..., 0]), np.asarray(gt_locs)
+
+
+def _torch_ssd_loss(conf, pred_locs, labels, gt_locs, neg_pos_ratio):
+    """Reference SSD loss semantics in torch (SSDLoss.py:25-86 /
+    fdtpu/losses/ssd.py): -log(conf) mining under no_grad, double-argsort
+    hard-negative mask, eps-clamped BCE on rounded labels, smooth-L1 on
+    positives, /num_pos."""
+    import torch
+
+    eps = 1e-7
+    with torch.no_grad():
+        mining = -torch.log(conf.clamp(eps, 1.0))
+        pos = labels > 0
+        num_pos = pos.sum(1, keepdim=True)
+        num_neg = num_pos * neg_pos_ratio
+        ranked = mining.masked_fill(pos, -float("inf"))
+        orders = (-ranked).argsort(1).argsort(1)
+        mask = pos | (orders < num_neg)
+    c = conf.clamp(eps, 1 - eps)
+    t = labels.round()
+    bce = -(t * torch.log(c) + (1 - t) * torch.log(1 - c))
+    cls = bce[mask].sum()
+    loc = torch.nn.functional.smooth_l1_loss(
+        pred_locs[pos], gt_locs[pos], reduction="sum"
+    )
+    return (cls + loc) / pos.sum().clamp(min=1)
+
+
+def _eval_ap(forward_np, val_loader, patch_sizes):
+    """Decode with fdtpu's exact NMS path (jax CPU) + vectorized AP."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdtpu.core.nms import ssd_output_filter_nms
+    from fdtpu.train.metrics import average_precision
+
+    decode = jax.jit(
+        jax.vmap(
+            lambda o: ssd_output_filter_nms(
+                o, (SIZE, SIZE), PROB_THR, IOU_THR, CAPACITY
+            )
+        )
+    )
+    pb, pm, gb, gm = [], [], [], []
+    for batch in val_loader:
+        out = forward_np(batch.images)
+        boxes, mask = decode(jnp.asarray(out))
+        keep = np.asarray(batch.sample_mask)
+        pb.append(np.asarray(boxes)[keep])
+        pm.append(np.asarray(mask)[keep])
+        gb.append(batch.boxes[keep])
+        gm.append(batch.box_mask[keep])
+    return float(
+        average_precision(
+            np.concatenate(pb), np.concatenate(pm),
+            np.concatenate(gb), np.concatenate(gm),
+        )
+    )
+
+
+def run_torch(tmp):
+    import torch
+
+    from torch_cpu_baseline import RefEquivalentSSD
+
+    from fdtpu.models import ssd_patch_sizes
+
+    patch_sizes = tuple(ssd_patch_sizes((SIZE, SIZE)))
+    torch.manual_seed(0)
+    model = RefEquivalentSSD(16, SIZE)
+    opt = torch.optim.Adam(model.parameters(), lr=LR)
+    train_loader, val_loader = _data(tmp)
+
+    # priors must be applied to predictions in-graph (SSD.py:206-220 via
+    # apply_priors at :248); RefEquivalentSSD emits raw head outputs, so add
+    # the same prior transform the fdtpu model applies.
+    from fdtpu.core.priors import calculate_priors, prior_scales
+
+    pri = torch.tensor(
+        np.asarray(calculate_priors(patch_sizes, dtype=np.float32))
+    )
+    scl = torch.tensor(
+        np.asarray(prior_scales(patch_sizes, dtype=np.float32))
+    )
+
+    def apply_priors_t(z):
+        # fdtpu/core/priors.py:apply_priors: xy * (1/ps) + prior, wh as-is
+        xy = z[..., 1:3] * scl[:, None] + pri[:, :2]
+        return torch.cat([z[..., :1], xy, z[..., 3:5]], -1)
+
+    t0 = time.time()
+    model.train()
+    steps = 0
+    for epoch in range(EPOCHS):
+        for batch in train_loader:
+            labels_np, gt_locs_np = _encode_batch_np(
+                batch.boxes, batch.box_mask, patch_sizes
+            )
+            x = torch.tensor(
+                batch.images.transpose(0, 3, 1, 2).astype(np.float32) / 255.0
+            )
+            out = apply_priors_t(model(x))
+            loss = _torch_ssd_loss(
+                out[..., 0], out[..., 1:5],
+                torch.tensor(labels_np), torch.tensor(gt_locs_np), NEG_POS,
+            )
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            steps += 1
+        if epoch % 10 == 0:
+            print(
+                f"epoch {epoch} loss {float(loss):.4f} "
+                f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True,
+            )
+    model.eval()
+
+    def forward_np(images):
+        with torch.no_grad():
+            x = torch.tensor(
+                images.transpose(0, 3, 1, 2).astype(np.float32) / 255.0
+            )
+            return apply_priors_t(model(x)).numpy()
+
+    ap = _eval_ap(forward_np, val_loader, patch_sizes)
+    return {
+        "framework": "torch-cpu-control",
+        "ap50": round(ap, 4),
+        "steps": steps,
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def run_fdtpu(tmp, platform):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from fdtpu.models import SSD, ssd_patch_sizes
+    from fdtpu.train import Trainer
+    from fdtpu.utils.config import TrainConfig
+
+    patch_sizes = tuple(ssd_patch_sizes((SIZE, SIZE)))
+    train_loader, val_loader = _data(tmp)
+    module = SSD(
+        filters=16, input_shape=(SIZE, SIZE), patch_sizes=patch_sizes
+    )
+    cfg = TrainConfig(
+        learning_rate=LR, max_epochs=EPOCHS, batch_size=BATCH,
+        box_capacity=8, use_sam=False, visualize_first_batch=False,
+        checkpoint_dir=str(Path(tmp) / "ckpt"),
+        log_path=str(Path(tmp) / "out.log"),
+    )
+    trainer = Trainer(
+        module, cfg, train_loader, None, augment=False,
+        neg_pos_ratio=NEG_POS, nms_params=(PROB_THR, IOU_THR, CAPACITY),
+        run_name="ssd_control",
+    )
+    t0 = time.time()
+    for _ in range(EPOCHS):
+        trainer.train_epoch()
+        trainer.epoch += 1
+
+    variables = {"params": trainer.state.params}
+    if trainer.state.batch_stats:
+        variables["batch_stats"] = trainer.state.batch_stats
+    fwd = jax.jit(lambda x: module.apply(variables, x, train=False))
+
+    def forward_np(images):
+        return np.asarray(
+            fwd(jnp.asarray(images, jnp.float32) / 255.0)
+        )
+
+    ap = _eval_ap(forward_np, val_loader, patch_sizes)
+    return {
+        "framework": "fdtpu",
+        "ap50": round(ap, 4),
+        "steps": int(trainer.state.step),
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fdtpu", action="store_true",
+                    help="run fdtpu at the identical shrunk config instead "
+                         "of the torch control")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--epochs", type=int, default=None)
+    args = ap.parse_args()
+    global EPOCHS
+    if args.epochs:
+        EPOCHS = args.epochs
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ssd_control_")
+    res = run_fdtpu(tmp, args.platform) if args.fdtpu else run_torch(tmp)
+    res.update(size=SIZE, n_train=N_TRAIN, n_val=N_VAL, batch=BATCH,
+               epochs=EPOCHS, lr=LR)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,99 @@ def test_two_process_distributed_dp(tmp_path):
     assert results[0]["step"] == results[1]["step"] == 1
     assert np.isfinite(results[0]["loss"])
     np.testing.assert_allclose(results[0]["loss"], results[1]["loss"], rtol=1e-6)
+
+
+_FIT_WORKER = r"""
+import json, os, sys
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, root, work = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+
+import jax.numpy as jnp
+from fdtpu.data import BatchLoader, WIDERFaceDataSource, load_targets
+from fdtpu.models import PoolResnet
+from fdtpu.train import Trainer
+from fdtpu.utils.config import TrainConfig
+
+targets = load_targets(root, "train", max_faces=3)
+src = WIDERFaceDataSource(targets, (160, 160), box_capacity=4, error_log=None)
+train = BatchLoader(src, batch_size=8, shuffle=True, seed=3, drop_last=True,
+                    process_shard=(pid, 2))
+val = BatchLoader(src, batch_size=8, process_shard=(pid, 2))
+module = PoolResnet(filters=8, input_shape=(160, 160), num_patches=10,
+                    num_residual_blocks=2, dtype=jnp.float32)
+config = TrainConfig(use_sam=False, optimizer="sgd", learning_rate=1e-3,
+                     max_epochs=1, batch_size=8, box_capacity=4,
+                     data_parallel=-1,
+                     checkpoint_dir=os.path.join(work, "ckpt"),
+                     log_path=os.path.join(work, "logs", "out.log"))
+trainer = Trainer(module, config, train, val, augment=False, run_name="mh")
+out = trainer.fit()  # one full epoch: train + sharded eval + checkpoint save
+print("RESULT " + json.dumps({
+    "pid": pid,
+    "train_loss": float(out["train"]["loss"]),
+    "val_loss": float(out["val"]["loss"]),
+    "val_recall": float(out["val"]["recall"]),
+    "step": int(trainer.state.step),
+}))
+"""
+
+
+def test_two_process_trainer_fit(tmp_path):
+    """Round-2 VERDICT item 6: a FULL Trainer.fit epoch (train + sharded
+    eval + per-epoch checkpoint) across two jax.distributed processes —
+    replicated losses agree, the Orbax save is a collective that lands one
+    checkpoint, and log/TB artifacts are written by process 0 only."""
+    from fdtpu.data import make_synthetic_widerface
+
+    root = make_synthetic_widerface(tmp_path / "wider", num_images=16,
+                                    max_faces=2)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "fit_worker.py"
+    script.write_text(_FIT_WORKER)
+    work = tmp_path / "work"
+    work.mkdir()
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        str(Path(__file__).resolve().parent.parent)
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid), str(root),
+             str(work)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    results = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-5000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+        rec = json.loads(line[len("RESULT "):])
+        results[rec["pid"]] = rec
+    # replicated numerics agree across processes
+    for k in ("train_loss", "val_loss", "val_recall"):
+        np.testing.assert_allclose(results[0][k], results[1][k], rtol=1e-6,
+                                   err_msg=k)
+    assert results[0]["step"] == results[1]["step"] == 2  # 16 imgs / b8
+    # exactly one checkpoint, written collectively
+    ckpts = sorted((work / "ckpt" / "mh").glob("step_*"))
+    assert len(ckpts) == 1, ckpts
+    # log artifacts: process 0 only => exactly one writer => 2 jsonl lines
+    jsonl = (work / "logs" / "out.jsonl").read_text().strip().splitlines()
+    assert len(jsonl) == 2, jsonl  # one training + one validation record
+    assert (work / "logs" / "tb").exists()

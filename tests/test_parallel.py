@@ -190,3 +190,114 @@ def test_multihost_helpers_single_process(rng):
     arrays = global_batch_from_local(mesh, batch)
     assert arrays[0].shape == batch[0].shape
     assert len(arrays[0].sharding.device_set) == 8
+
+
+def _comp_trainer(tmp_path, targets, tag, *, dp=None, device_data=False,
+                  steps_per_dispatch=1, rotate_device=False, use_sam=True,
+                  augment=False, shuffle=False, n_images=16, batch=8):
+    """Trainer factory for the device_data/steps_per_dispatch x data_parallel
+    composition tests: dropout 0 (the shard_map step folds the shard id into
+    the rng, so dropout masks differ across layouts), fp32 + SGD (Adam's
+    sign(grad) first step amplifies reduction-order noise)."""
+    import optax
+
+    from fdtpu.data import BatchLoader, WIDERFaceDataSource
+    from fdtpu.train import Trainer
+
+    src = WIDERFaceDataSource(
+        targets, (SIZE, SIZE), box_capacity=4, error_log=None
+    )
+    train = BatchLoader(src, batch_size=batch, drop_last=True,
+                        shuffle=shuffle, seed=3)
+    val = BatchLoader(src, batch_size=batch)
+    module = PoolResnet(
+        filters=8, input_shape=(SIZE, SIZE), num_patches=10,
+        num_residual_blocks=2, dtype=jnp.float32,
+        dropout=0.0, head_dropout=0.0,
+    )
+    config = TrainConfig(
+        learning_rate=1e-3, optimizer="sgd", use_sam=use_sam, max_epochs=2,
+        batch_size=batch, box_capacity=4, visualize_first_batch=False,
+        checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        log_path=str(tmp_path / f"logs_{tag}/out.log"),
+        data_parallel=dp, device_data=device_data,
+        steps_per_dispatch=steps_per_dispatch, rotate_device=rotate_device,
+    )
+    return Trainer(module, config, train, val, augment=augment, run_name="t")
+
+
+@pytest.fixture(scope="module")
+def comp_targets(tmp_path_factory):
+    from fdtpu.data import load_targets, make_synthetic_widerface
+
+    root = make_synthetic_widerface(
+        tmp_path_factory.mktemp("wider"), num_images=16, max_faces=2
+    )
+    return load_targets(root, "train", max_faces=3)
+
+
+def test_trainer_device_data_dp_matches_single(tmp_path, comp_targets):
+    """Round-3 headline composition: device_data + data_parallel=8 via the
+    shard_map resident-epoch scan must match single-device device_data
+    numerics exactly (shuffle off => identical batch composition; SAM on =>
+    the in-SAM cross-shard reduction is exercised too)."""
+    t1 = _comp_trainer(tmp_path, comp_targets, "dd_single", device_data=True)
+    out1 = t1.fit()
+    t8 = _comp_trainer(tmp_path, comp_targets, "dd_dp8", device_data=True,
+                       dp=8)
+    assert t8.mesh is not None and t8._use_shardmap
+    out8 = t8.fit()
+    np.testing.assert_allclose(
+        out1["train"]["loss"], out8["train"]["loss"], rtol=1e-4
+    )
+    for k in ("loss", "recall", "precision", "iou"):
+        np.testing.assert_allclose(out1["val"][k], out8["val"][k], rtol=1e-3,
+                                   atol=1e-6, err_msg=k)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t1.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(t8.state.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-6)
+
+
+def test_trainer_steps_per_dispatch_dp_matches_single(tmp_path, comp_targets):
+    """steps_per_dispatch>1 + data_parallel: the shard_map'd scanned group
+    dispatch must match the plain single-device per-batch loop."""
+    t1 = _comp_trainer(tmp_path, comp_targets, "spd_single", use_sam=False)
+    out1 = t1.fit()
+    t8 = _comp_trainer(tmp_path, comp_targets, "spd_dp8", use_sam=False,
+                       dp=8, steps_per_dispatch=2)
+    assert t8._use_shardmap
+    out8 = t8.fit()
+    np.testing.assert_allclose(
+        out1["train"]["loss"], out8["train"]["loss"], rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t1.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(t8.state.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-6)
+
+
+def test_trainer_rotate_device_dp_runs(tmp_path, comp_targets):
+    """rotate_device + data_parallel (round-2 advisor medium): the rotation
+    pallas_call has no GSPMD partitioning rule, so the Trainer must route
+    the whole step through shard_map (per-shard kernels) instead of raising
+    or letting GSPMD all-gather the batch."""
+    t = _comp_trainer(tmp_path, comp_targets, "rot_dp", dp=8,
+                      rotate_device=True, augment=True, use_sam=False,
+                      shuffle=True)
+    assert t._use_shardmap
+    m = t.train_epoch()
+    assert np.isfinite(m["loss"])
+
+
+def test_trainer_device_data_dp_shuffled_epochs(tmp_path, comp_targets):
+    """Shuffled sharded resident epochs: fresh per-shard permutations per
+    epoch (stratified shuffle), finite losses, step count advances."""
+    t = _comp_trainer(tmp_path, comp_targets, "dd_shuf", device_data=True,
+                      dp=8, shuffle=True, use_sam=False)
+    out = t.fit()
+    assert np.isfinite(out["train"]["loss"])
+    assert np.isfinite(out["val"]["loss"])
+    assert int(t.state.step) == 2 * len(t.train_loader)

@@ -43,7 +43,10 @@ def parse_args():
     p.add_argument("--device-data", action="store_true",
                    help="stage the training set into device HBM once and "
                         "scan whole epochs on device (WIDERFace@320px is "
-                        "~3.9 GB resident; implies no host rotation)")
+                        "~3.9 GB resident; implies no host rotation). "
+                        "Composes with --data-parallel: the dataset is "
+                        "staged batch-sharded over the mesh and each epoch "
+                        "is one shard_map scan")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="train steps scanned per device program; >1 "
                         "amortizes dispatch latency (essential through the "
