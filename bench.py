@@ -55,16 +55,24 @@ def _timed_rates(fn, sync, images_per_call: int, reps: int = REPS):
     return float(np.median(rates)), rates
 
 
-def _cost_flops(compiled) -> float | None:
-    """Algebraic flops of a compiled program per XLA's cost analysis (None
-    when the backend doesn't expose it)."""
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
-        return None
+def poolresnet_forward_flops(
+    size: int, filters: int, blocks: int, num_patches: int = 15
+) -> float:
+    """Analytic conv FLOPs (2*MACs) of one PoolResnet forward pass — XLA's
+    ``compiled.cost_analysis()['flops']`` is unusable on this TPU backend
+    (reports 0.1 GFLOPs/img for a measured-3.2 model). Geometry per
+    ``fdtpu/models/poolresnet.py``: stem k10/s8/p2, ``blocks`` residual
+    blocks of two 3x3 convs (pool after while dim > 2*num_patches), head
+    k6 valid. 320px/128f/10blk -> 3.21 GFLOPs (fwd)."""
+    dim = (size + 4 - 10) // 8 + 1  # stem output
+    f = 2.0 * dim * dim * filters * 3 * 100
+    for _ in range(blocks):
+        f += 2 * (2.0 * dim * dim * filters * filters * 9)
+        if dim > 2 * num_patches:
+            dim //= 2
+    out = dim - 5  # head k6, VALID
+    f += 2.0 * out * out * 5 * filters * 36
+    return f
 
 
 def main():
@@ -120,7 +128,6 @@ def main():
         _train_once, jax.device_get, BATCH * TRAIN_SCAN
     )
     assert np.isfinite(jax.device_get(losses)).all()
-    train_flops = _cost_flops(train_compiled)
 
     # -- inference: forward + fused decode/filter/NMS, scanned on device --
     variables = {"params": holder["st"].params}
@@ -144,7 +151,6 @@ def main():
     infer_img_s, infer_rates = _timed_rates(
         lambda: infer_compiled(imgs_f)[1], jax.device_get, BATCH * INFER_SCAN
     )
-    infer_flops = _cost_flops(infer_compiled)
 
     device = jax.devices()[0]
     result = {
@@ -165,18 +171,17 @@ def main():
         "model": f"PoolResnet-{FILTERS} {SIZE}px b{BATCH} bf16 sam+aug",
     }
     if device.platform == "tpu":
-        if train_flops:
-            per_img = train_flops / (BATCH * TRAIN_SCAN)
-            result["train_gflops_per_img"] = round(per_img / 1e9, 2)
-            result["train_mfu"] = round(
-                train_img_s * per_img / PEAK_BF16_FLOPS, 3
-            )
-        if infer_flops:
-            per_img = infer_flops / (BATCH * INFER_SCAN)
-            result["infer_gflops_per_img"] = round(per_img / 1e9, 2)
-            result["infer_mfu"] = round(
-                infer_img_s * per_img / PEAK_BF16_FLOPS, 3
-            )
+        fwd = poolresnet_forward_flops(SIZE, FILTERS, BLOCKS)
+        # SAM step = 2 points x (forward + backward); backward ~ 2x forward
+        # (grads w.r.t. activations + weights) => ~6x forward per image.
+        train_per_img = 6.0 * fwd
+        result["fwd_gflops_per_img"] = round(fwd / 1e9, 2)
+        result["train_mfu"] = round(
+            train_img_s * train_per_img / PEAK_BF16_FLOPS, 3
+        )
+        result["infer_mfu"] = round(
+            infer_img_s * fwd / PEAK_BF16_FLOPS, 3
+        )
     print(json.dumps(result))
 
 

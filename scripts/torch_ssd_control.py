@@ -207,7 +207,7 @@ def run_torch(tmp):
             steps += 1
         if epoch % 10 == 0:
             print(
-                f"epoch {epoch} loss {float(loss):.4f} "
+                f"epoch {epoch} loss {float(loss.detach()):.4f} "
                 f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True,
             )
     model.eval()
