@@ -527,9 +527,11 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False):
             minval=-jnp.deg2rad(ROTATE_LIMIT_DEG),
             maxval=jnp.deg2rad(ROTATE_LIMIT_DEG),
         )
+        # planes ride in the batch dtype (bf16 on the production path):
+        # rotation is bandwidth-bound, so this halves all five passes'
+        # traffic; the kernel interpolates in f32 registers either way
         rot = rotate_batch(
-            imgs[rsel].astype(jnp.float32), ang,
-            interpret=not pallas_nms_available(),
+            imgs[rsel], ang, interpret=not pallas_nms_available(),
         )
         rb, rm = rotate_boxes(boxes[rsel], masks[rsel], ang, w)
         imgs = imgs.at[rsel].set(rot.astype(imgs.dtype))

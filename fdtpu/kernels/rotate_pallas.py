@@ -77,17 +77,21 @@ def _shear_kernel(k_ref, in_ref, out_ref, *, band, j_slices, lanes, row_mod,
         rows = rows % row_mod
     t = k * (rows.astype(jnp.float32) - row_center)
     n = jnp.floor(t)
-    f = (t - n).astype(in_ref.dtype)
+    f = t - n
     n0 = jnp.min(n).astype(jnp.int32)
     d = n.astype(jnp.int32) - n0
 
-    src = in_ref[0, pl.ds(r0, band), :]
-    acc = jnp.zeros((band, lanes), in_ref.dtype)
+    # Planes may live in bf16 (halves every pass's HBM traffic — the
+    # rotation is bandwidth-bound); compute in f32 in-register. Mosaic only
+    # rolls f32 vectors (round-2 photometric-kernel finding), so the
+    # conversion ALSO makes the bf16 path lower at all.
+    src = in_ref[0, pl.ds(r0, band), :].astype(jnp.float32)
+    acc = jnp.zeros((band, lanes), jnp.float32)
     for j in range(j_slices):
         s_j = pltpu.roll(src, jnp.mod(-(n0 + j), lanes), axis=1)
         c_j = jnp.where(d == j, 1.0 - f, 0.0) + jnp.where(d == j - 1, f, 0.0)
         acc = acc + c_j * s_j
-    out_ref[0, :, :] = acc
+    out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
 
 def _shear(planes, k, *, k_max, row_mod, row_center, interpret=False,
@@ -137,7 +141,10 @@ def _shear(planes, k, *, k_max, row_mod, row_center, interpret=False,
 def rotate_batch(imgs, angles, *, interpret=False):
     """Rotate ``(K, S, S, C)`` images by ``angles`` radians (counterclockwise,
     the host path's ``rotate_image_and_boxes`` convention) about the image
-    center with reflect-101 borders. float32 in/out, pixel-range values.
+    center with reflect-101 borders. Float in/out, pixel-range values; the
+    input dtype (f32 or bf16) is preserved through every plane — the pass
+    is bandwidth-bound, so feeding bf16 halves its cost (round-3 VERDICT
+    item 4) while the kernels interpolate in f32 registers.
 
     |angle| must be <= ~20 degrees (the reference's Rotate limit): the
     guard/pad geometry is sized for it.
@@ -153,7 +160,8 @@ def rotate_batch(imgs, angles, *, interpret=False):
     g1 = pad + ((128 - (hp + 2 * pad) % 128) % 128) // 2
     g2 = pad + ((128 - (c * hp + 2 * pad) % 128) % 128) // 2
 
-    x = imgs.astype(jnp.float32)
+    x = imgs if jnp.issubdtype(imgs.dtype, jnp.floating) \
+        else imgs.astype(jnp.float32)
     x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     # channels onto sublanes: (K, Hp, Wp, C) -> (K, C*Hp, Wp), plus guards
     x = x.transpose(0, 3, 1, 2).reshape(kk, c * hp, hp)

@@ -16,12 +16,33 @@ Torch-semantics notes:
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+
+def torch_conv_inits(fan_in: int):
+    """torch ``nn.Conv2d``/``nn.Linear`` default initialization as flax
+    initializers: weights ``kaiming_uniform(a=sqrt(5))`` — which reduces to
+    ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))`` — and the same uniform bound for
+    the bias. ``fan_in`` = in_channels * kh * kw (1 for Linear). Used by the
+    ``torch_init`` model option for convergence-parity experiments against
+    the torch control (flax's default lecun_normal + zero bias measurably
+    changes early-training dynamics; see BASELINE.md SSD control)."""
+    bound = 1.0 / math.sqrt(fan_in)
+    kernel = nn.initializers.variance_scaling(
+        1.0 / 3.0, "fan_in", "uniform"
+    )
+
+    def bias(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return kernel, bias
 
 
 def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
@@ -132,16 +153,24 @@ class SSDResidualBlock(nn.Module):
     use_max_pool: bool = False
     dropout: float = 0.25
     dtype: Dtype = jnp.bfloat16
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        def conv(out_f, k, inp, fan_in):
+            kw = {}
+            if self.torch_init:
+                kw["kernel_init"], kw["bias_init"] = torch_conv_inits(fan_in)
+            return nn.Conv(out_f, (k, k), padding=k // 2, dtype=self.dtype,
+                           **kw)(inp)
+
         if self.in_filters == self.out_filters:
             skip = x
         else:
-            skip = nn.Conv(self.out_filters, (1, 1), dtype=self.dtype)(x)
-        x = nn.Conv(self.out_filters, (3, 3), padding=1, dtype=self.dtype)(x)
+            skip = conv(self.out_filters, 1, x, self.in_filters)
+        x = conv(self.out_filters, 3, x, self.in_filters * 9)
         x = leaky_relu(x)
-        x = nn.Conv(self.out_filters, (3, 3), padding=1, dtype=self.dtype)(x)
+        x = conv(self.out_filters, 3, x, self.out_filters * 9)
         x = leaky_relu(x)
         x = Dropout2d(self.dropout)(x, deterministic)
         x = x + skip

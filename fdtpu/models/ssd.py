@@ -43,23 +43,33 @@ class SSD(nn.Module):
     patch_sizes: tuple[int, ...] = (60, 30, 15, 7)
     dropout: float = 0.25  # block Dropout2d rate (SSD.py:16 default)
     dtype: Dtype = jnp.bfloat16
+    # torch nn.Conv2d/Linear default init instead of flax lecun_normal —
+    # convergence parity with the reference (BASELINE.md SSD control)
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from fdtpu.models.layers import torch_conv_inits
+
         f = self.filters
         max_filters = 16 * f  # SSD.py:107
         det = not train
         bs = x.shape[0]
+        ti = self.torch_init
 
         x = x.astype(self.dtype)
         # input_normalizer (SSD.py:127-134)
-        x = nn.Conv(f, (3, 3), strides=2, padding=1, dtype=self.dtype)(x)
+        stem_kw = {}
+        if ti:
+            stem_kw["kernel_init"], stem_kw["bias_init"] = torch_conv_inits(27)
+        x = nn.Conv(f, (3, 3), strides=2, padding=1, dtype=self.dtype,
+                    **stem_kw)(x)
         # feature_extractor (SSD.py:135-163): pool, pool, 6x plain, widen
-        x = SSDResidualBlock(f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype)(x, det)
-        x = SSDResidualBlock(2 * f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype)(x, det)
+        x = SSDResidualBlock(f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype, torch_init=ti)(x, det)
+        x = SSDResidualBlock(2 * f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype, torch_init=ti)(x, det)
         for _ in range(6):
-            x = SSDResidualBlock(2 * f, 2 * f, dropout=self.dropout, dtype=self.dtype)(x, det)
-        x = SSDResidualBlock(2 * f, 4 * f, dropout=self.dropout, dtype=self.dtype)(x, det)
+            x = SSDResidualBlock(2 * f, 2 * f, dropout=self.dropout, dtype=self.dtype, torch_init=ti)(x, det)
+        x = SSDResidualBlock(2 * f, 4 * f, dropout=self.dropout, dtype=self.dtype, torch_init=ti)(x, det)
 
         scores, bbxs = [], []
         for i, ps in enumerate(self.patch_sizes):
@@ -67,7 +77,7 @@ class SSD(nn.Module):
             out_f = min(2 * in_f, max_filters)
             x = SSDResidualBlock(
                 in_f, out_f, use_max_pool=(i != 0),
-                dropout=self.dropout, dtype=self.dtype,
+                dropout=self.dropout, dtype=self.dtype, torch_init=ti,
             )(x, det)
             assert x.shape[1] == ps, (
                 f"scale {i}: spatial {x.shape[1]} != patch size {ps}; "
@@ -75,7 +85,12 @@ class SSD(nn.Module):
             )
             # Position-wise extracting head (SSD.py:180-186, 240-242):
             # NHWC row-major flatten -> (B, ps*ps, 5).
-            z = nn.Dense(5, dtype=self.dtype)(x)
+            head_kw = {}
+            if ti:
+                head_kw["kernel_init"], head_kw["bias_init"] = (
+                    torch_conv_inits(out_f)
+                )
+            z = nn.Dense(5, dtype=self.dtype, **head_kw)(x)
             z = z.reshape(bs, ps * ps, 5).astype(jnp.float32)
             scores.append(z[..., :1])
             bbxs.append(z[..., 1:5])

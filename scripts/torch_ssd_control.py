@@ -228,7 +228,8 @@ def run_torch(tmp):
     }
 
 
-def run_fdtpu(tmp, platform):
+def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
+              torch_init=False):
     import jax
 
     if platform:
@@ -242,11 +243,17 @@ def run_fdtpu(tmp, platform):
     patch_sizes = tuple(ssd_patch_sizes((SIZE, SIZE)))
     train_loader, val_loader = _data(tmp)
     module = SSD(
-        filters=16, input_shape=(SIZE, SIZE), patch_sizes=patch_sizes
+        filters=16, input_shape=(SIZE, SIZE), patch_sizes=patch_sizes,
+        dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
+        torch_init=torch_init,
     )
     cfg = TrainConfig(
         learning_rate=LR, max_epochs=EPOCHS, batch_size=BATCH,
         box_capacity=8, use_sam=False, visualize_first_batch=False,
+        # schedule=False disables the MultiStepLR drop (the torch control
+        # trains at constant lr) by pushing the milestone past the run
+        lr_milestones=(40,) if schedule else (10_000,),
+        device_data=device_data,
         checkpoint_dir=str(Path(tmp) / "ckpt"),
         log_path=str(Path(tmp) / "out.log"),
     )
@@ -286,6 +293,17 @@ def main():
                          "of the torch control")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="(--fdtpu) model compute dtype")
+    ap.add_argument("--no-schedule", action="store_true",
+                    help="(--fdtpu) constant lr like the torch control "
+                         "(disable the MultiStepLR@40 drop)")
+    ap.add_argument("--torch-init", action="store_true",
+                    help="(--fdtpu) torch-default conv/linear init instead "
+                         "of flax lecun_normal")
+    ap.add_argument("--no-device-data", action="store_true",
+                    help="(--fdtpu) stream batches instead of HBM-resident "
+                         "epochs")
     args = ap.parse_args()
     global EPOCHS
     if args.epochs:
@@ -294,7 +312,16 @@ def main():
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="ssd_control_")
-    res = run_fdtpu(tmp, args.platform) if args.fdtpu else run_torch(tmp)
+    if args.fdtpu:
+        res = run_fdtpu(
+            tmp, args.platform, dtype=args.dtype,
+            schedule=not args.no_schedule, torch_init=args.torch_init,
+            device_data=not args.no_device_data,
+        )
+        res.update(dtype=args.dtype, schedule=not args.no_schedule,
+                   torch_init=args.torch_init)
+    else:
+        res = run_torch(tmp)
     res.update(size=SIZE, n_train=N_TRAIN, n_val=N_VAL, batch=BATCH,
                epochs=EPOCHS, lr=LR)
     print(json.dumps(res))

@@ -137,3 +137,21 @@ def test_rotate_boxes_matches_host_math():
     # host path rounds + filters; compare the surviving set pre-rounding
     assert got.shape[0] == want.shape[0]
     np.testing.assert_allclose(np.round(got[:, 1:]), want[:, 1:], atol=1.0)
+
+
+def test_rotate_bf16_matches_f32():
+    """The bf16 plane path (production augment dtype) must match the f32
+    path to bf16 interpolation tolerance and preserve the input dtype."""
+    import jax.numpy as jnp
+
+    from fdtpu.kernels.rotate_pallas import rotate_batch
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, size=(2, 64, 64, 3)).astype(np.float32)
+    ang = jnp.asarray([0.2, -0.3])
+    f32 = rotate_batch(jnp.asarray(imgs), ang, interpret=True)
+    bf16 = rotate_batch(jnp.asarray(imgs, jnp.bfloat16), ang, interpret=True)
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(bf16, np.float32), np.asarray(f32), atol=2.5
+    )  # bf16 pixel quantization is ~1 unit at 255, x2 interp taps
