@@ -167,7 +167,31 @@ def _nms_kernel(
         survive = (iou <= iou_thr).astype(jnp.float32) * (1.0 - onehot)
         return alive * survive * valid
 
-    jax.lax.fori_loop(0, capacity, body, alive0)
+    _greedy_loop(body, alive0, capacity)
+
+
+def _greedy_loop(body, alive0, capacity: int, chunk: int = 8):
+    """Run ``capacity`` greedy iterations with early exit: a ``while_loop``
+    over ``chunk``-iteration blocks that stops once no candidate is alive
+    anywhere in the tile. Bit-identical to the plain ``fori_loop`` — skipped
+    iterations would only re-write the pre-zeroed output rows (their
+    ``valid`` is 0 once ``alive`` is empty) — but in the realistic trained
+    regime (tens of detections, sparse survivors) it skips most of the
+    ``capacity`` budget. The alive carry stays f32 (Mosaic i1-carry
+    mis-layout, see module docstring note in the kernel body)."""
+
+    def chunk_body(state):
+        k0, alive = state
+        alive = jax.lax.fori_loop(
+            k0, jnp.minimum(k0 + chunk, capacity), body, alive
+        )
+        return k0 + chunk, alive
+
+    def cond(state):
+        k0, alive = state
+        return jnp.logical_and(k0 < capacity, jnp.max(alive) > 0.5)
+
+    jax.lax.while_loop(cond, chunk_body, (jnp.int32(0), alive0))
 
 
 def _batched_nms_kernel(
@@ -232,7 +256,7 @@ def _batched_nms_kernel(
         survive = (iou <= iou_thr).astype(jnp.float32) * (1.0 - onehot)
         return alive * survive * valid
 
-    jax.lax.fori_loop(0, capacity, body, alive0)
+    _greedy_loop(body, alive0, capacity)
 
 
 def _batch_tile(bsz: int, n_pad: int) -> int:

@@ -138,8 +138,13 @@ def _shear(planes, k, *, k_max, row_mod, row_center, interpret=False,
     )(k.astype(jnp.float32).reshape(kk, 1), planes)
 
 
-def rotate_batch(imgs, angles, *, interpret=False):
-    """Rotate ``(K, S, S, C)`` images by ``angles`` radians (counterclockwise,
+def rotate_batch_transposed(imgs, angles, *, interpret=False):
+    """Round-2 rotation path (kept for A/B benchmarking and as a fallback):
+    channels stacked on sublanes, vertical shear on the transposed plane.
+    Superseded by :func:`rotate_batch` — the two swapaxes relayouts and the
+    per-(image, band) grid (~1,700 dispatch steps/pass) dominate its cost.
+
+    Rotates ``(K, S, S, C)`` images by ``angles`` radians (counterclockwise,
     the host path's ``rotate_image_and_boxes`` convention) about the image
     center with reflect-101 borders. Float in/out, pixel-range values; the
     input dtype (f32 or bf16) is preserved through every plane — the pass
@@ -187,6 +192,207 @@ def rotate_batch(imgs, angles, *, interpret=False):
         :, :, pad : pad + s, g1 + pad : g1 + pad + s
     ]
     return out.transpose(0, 2, 3, 1)
+
+
+def _shear_x_kernel(k_ref, in_ref, out_ref, *, band, j_slices, lanes, c,
+                    row_center):
+    """Horizontal shear on NHWC-interleaved planes ``(kb, band, L)`` with
+    lanes ``l = x*C + ch``: ``out(y, x) = in(y, x + t(y))`` with linear
+    interpolation, ``t(y) = k * (y - row_center)``. A shift of ``n`` pixels
+    is a roll of ``n*C`` lanes — channel-aligned by construction. Images in
+    the block are looped inside the kernel (per-image coefficient -> the
+    rolls differ per image) so the grid is bands-only: ~32 steps/pass
+    instead of the per-(image, band) ~800 of the transposed path."""
+    b = pl.program_id(1)
+    r0 = b * band
+    kb = in_ref.shape[0]
+    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
+
+    def per_image(i, carry):
+        k = k_ref[i]
+        t = k * (rows.astype(jnp.float32) - row_center)
+        n = jnp.floor(t)
+        f = t - n
+        n0 = jnp.min(n).astype(jnp.int32)
+        d = n.astype(jnp.int32) - n0
+        src = in_ref[i, :, :].astype(jnp.float32)
+        acc = jnp.zeros((band, lanes), jnp.float32)
+        for j in range(j_slices):
+            s_j = pltpu.roll(src, jnp.mod(-(n0 + j) * c, lanes), axis=1)
+            c_j = (jnp.where(d == j, 1.0 - f, 0.0)
+                   + jnp.where(d == j - 1, f, 0.0))
+            acc = acc + c_j * s_j
+        out_ref[i, :, :] = acc.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, kb, per_image, 0)
+
+
+def _shear_y_kernel(k_ref, in_ref, out_ref, *, rows, j_slices, c, col_center,
+                    lane0):
+    """Vertical shear on NHWC-interleaved planes, one 128-lane block per
+    grid step: ``out(y, x) = in(y + t(x), x)``, ``t(x) = k * (x -
+    col_center)`` with ``x = lane // C``. Shifts move pixels along the
+    SUBLANE axis (``pltpu.roll(axis=0)``), so lane blocks are independent —
+    no transpose needed, unlike the round-2 path. ``lane0`` is the block's
+    global lane offset (``program_id(1) * 128`` is not available as a
+    closure constant because the lane-block index maps blocks)."""
+    b = pl.program_id(1)
+    kb = in_ref.shape[0]
+    lane = (lane0 + b * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1))
+    x = lane // c
+
+    def per_image(i, carry):
+        k = k_ref[i]
+        t = k * (x.astype(jnp.float32) - col_center)
+        n = jnp.floor(t)
+        f = t - n
+        n0 = jnp.min(n).astype(jnp.int32)
+        d = n.astype(jnp.int32) - n0
+        src = in_ref[i, :, :].astype(jnp.float32)
+        acc = jnp.zeros((rows, 128), jnp.float32)
+        for j in range(j_slices):
+            s_j = pltpu.roll(src, jnp.mod(-(n0 + j), rows), axis=0)
+            c_j = (jnp.where(d == j, 1.0 - f, 0.0)
+                   + jnp.where(d == j - 1, f, 0.0))
+            acc = acc + c_j * s_j
+        out_ref[i, :, :] = acc.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, kb, per_image, 0)
+
+
+_KB_BYTES = 4 * 1024 * 1024  # VMEM budget per in/out block of a shear pass
+
+
+def _shear_x(planes, k, *, k_max, row_center, interpret=False, band=16):
+    """Banded horizontal shear over ``(K, R, L)`` NHWC-interleaved planes."""
+    kk, r, l = planes.shape
+    assert l % 128 == 0 and r % band == 0, (r, l, band)
+    c = 3
+    j_slices = math.ceil(k_max * (band - 1)) + 2
+    itemsize = jnp.dtype(planes.dtype).itemsize
+    kb = max(1, min(kk, _KB_BYTES // (band * l * itemsize)))
+    k_pad = -(-kk // kb) * kb
+    kcoef = jnp.pad(k.astype(jnp.float32), (0, k_pad - kk))
+    if k_pad != kk:
+        planes = jnp.pad(planes, ((0, k_pad - kk), (0, 0), (0, 0)))
+    kernel = functools.partial(
+        _shear_x_kernel, band=band, j_slices=j_slices, lanes=l, c=c,
+        row_center=row_center,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(k_pad // kb, r // band),
+        in_specs=[
+            pl.BlockSpec((kb,), lambda i, b: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((kb, band, l), lambda i, b: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kb, band, l), lambda i, b: (i, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_pad, r, l), planes.dtype),
+        interpret=interpret,
+    )(kcoef, planes)
+    return out[:kk]
+
+
+def _shear_y(planes, k, *, k_max, col_center, interpret=False):
+    """Lane-blocked vertical shear over ``(K, R, L)`` NHWC-interleaved
+    planes. The integer shift spreads by ``ceil(k_max * 128/C)`` inside a
+    128-lane block (~43 pixel columns at C=3), so the roll-slice count is
+    ~17 at the 20-degree limit — the price of skipping both swapaxes
+    relayouts of the transposed path."""
+    kk, r, l = planes.shape
+    assert l % 128 == 0, l
+    c = 3
+    span = 128 // c + 1
+    j_slices = math.ceil(k_max * span) + 2
+    itemsize = jnp.dtype(planes.dtype).itemsize
+    kb = max(1, min(kk, _KB_BYTES // (r * 128 * itemsize)))
+    k_pad = -(-kk // kb) * kb
+    kcoef = jnp.pad(k.astype(jnp.float32), (0, k_pad - kk))
+    if k_pad != kk:
+        planes = jnp.pad(planes, ((0, k_pad - kk), (0, 0), (0, 0)))
+    kernel = functools.partial(
+        _shear_y_kernel, rows=r, j_slices=j_slices, c=c,
+        col_center=col_center, lane0=0,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(k_pad // kb, l // 128),
+        in_specs=[
+            pl.BlockSpec((kb,), lambda i, b: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((kb, r, 128), lambda i, b: (i, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kb, r, 128), lambda i, b: (i, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_pad, r, l), planes.dtype),
+        interpret=interpret,
+    )(kcoef, planes)
+    return out[:kk]
+
+
+def rotate_batch(imgs, angles, *, interpret=False):
+    """Rotate ``(K, S, S, C)`` images by ``angles`` radians (counterclockwise,
+    the host path's ``rotate_image_and_boxes`` convention) about the image
+    center with reflect-101 borders — the round-3 NHWC-native path.
+
+    Two structural changes over :func:`rotate_batch_transposed` (same
+    three-shear math, same reflect geometry, measured equal to it within
+    interpolation tolerance):
+
+    * **No transposes.** Channels stay interleaved in lanes (``l = x*C +
+      ch``): the horizontal shears roll lanes by ``n*C``, the vertical
+      shear rolls SUBLANES per 128-lane block — so the NHWC reshape in and
+      out of plane form is free (minor-dims merge), where the round-2 path
+      paid two NCHW transposes plus two swapaxes relayouts per batch.
+    * **Batch-blocked grids.** Images are looped inside the kernels, so a
+      pass dispatches ~``R/band`` grid steps instead of ``K * R/band`` —
+      the transposed path was grid-dispatch-bound (~0.4 us/step over ~1,700
+      steps/pass).
+
+    Roll wrap-around lands only in the reflect margin / zero lane-guards,
+    both discarded by the final crop (the ``_pad_for`` margin exceeds the
+    worst 20-degree displacement; lane guards only extend it). Float in/out
+    (f32 or bf16 — planes ride the input dtype, kernels interpolate in f32
+    registers). |angle| must be <= ~20 degrees (reference Rotate limit).
+    """
+    kk, s, s2, c = imgs.shape
+    assert s == s2, (s, s2)
+    assert s % 8 == 0, s
+    assert c == 3, c
+    pad = _pad_for(s)
+    hp = s + 2 * pad
+    center = pad + (s - 1) / 2.0
+
+    x = imgs if jnp.issubdtype(imgs.dtype, jnp.floating) \
+        else imgs.astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    lanes0 = hp * c
+    l = -(-lanes0 // 128) * 128
+    x = x.reshape(kk, hp, lanes0)
+    if l != lanes0:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, l - lanes0)))
+
+    k1 = -jnp.tan(angles / 2.0)
+    k2 = jnp.sin(angles)
+    k1_max = math.tan(ROTATE_LIMIT_RAD / 2)
+    k2_max = math.sin(ROTATE_LIMIT_RAD)
+
+    p1 = _shear_x(x, k1, k_max=k1_max, row_center=center,
+                  interpret=interpret)
+    p2 = _shear_y(p1, k2, k_max=k2_max, col_center=center,
+                  interpret=interpret)
+    p3 = _shear_x(p2, k1, k_max=k1_max, row_center=center,
+                  interpret=interpret)
+
+    out = p3[:, pad : pad + s, c * pad : c * (pad + s)]
+    return out.reshape(kk, s, s, c)
 
 
 def rotate_boxes(boxes, masks, angles, size):

@@ -85,6 +85,16 @@ def main():
 
     res["rotate_f32_ms"] = round(scan_time(rot_only(sub_f32)), 3)
     res["rotate_bf16_ms"] = round(scan_time(rot_only(sub_bf16)), 3)
+
+    from fdtpu.kernels.rotate_pallas import rotate_batch_transposed
+
+    def rot_old(dtype_sub):
+        return lambda k: rotate_batch_transposed(
+            dtype_sub,
+            jax.random.uniform(k, (rk,), minval=-0.34, maxval=0.34),
+        )
+
+    res["rotate_bf16_transposed_ms"] = round(scan_time(rot_old(sub_bf16)), 3)
     res["rot_subset"] = rk
     res["device"] = str(jax.devices()[0])
     print(json.dumps(res))

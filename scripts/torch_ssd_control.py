@@ -155,7 +155,7 @@ def _eval_ap(forward_np, val_loader, patch_sizes):
     )
 
 
-def run_torch(tmp):
+def run_torch(tmp, schedule=False):
     import torch
 
     from torch_cpu_baseline import RefEquivalentSSD
@@ -166,6 +166,13 @@ def run_torch(tmp):
     torch.manual_seed(0)
     model = RefEquivalentSSD(16, SIZE)
     opt = torch.optim.Adam(model.parameters(), lr=LR)
+    # the reference drops lr x0.1 at epoch 40 (ModelMeta{SSD}.py:108-111);
+    # --schedule makes the control arm faithful to it, default keeps the
+    # original constant-lr control for continuity with recorded runs
+    sched = (
+        torch.optim.lr_scheduler.MultiStepLR(opt, milestones=[40], gamma=0.1)
+        if schedule else None
+    )
     train_loader, val_loader = _data(tmp)
 
     # priors must be applied to predictions in-graph (SSD.py:206-220 via
@@ -205,6 +212,8 @@ def run_torch(tmp):
             loss.backward()
             opt.step()
             steps += 1
+        if sched is not None:
+            sched.step()
         if epoch % 10 == 0:
             print(
                 f"epoch {epoch} loss {float(loss.detach()):.4f} "
@@ -304,6 +313,9 @@ def main():
     ap.add_argument("--no-device-data", action="store_true",
                     help="(--fdtpu) stream batches instead of HBM-resident "
                          "epochs")
+    ap.add_argument("--schedule", action="store_true",
+                    help="(torch arm) step the reference's MultiStepLR@40 "
+                         "drop instead of the constant-lr control")
     args = ap.parse_args()
     global EPOCHS
     if args.epochs:
@@ -321,7 +333,8 @@ def main():
         res.update(dtype=args.dtype, schedule=not args.no_schedule,
                    torch_init=args.torch_init)
     else:
-        res = run_torch(tmp)
+        res = run_torch(tmp, schedule=args.schedule)
+        res.update(schedule=args.schedule)
     res.update(size=SIZE, n_train=N_TRAIN, n_val=N_VAL, batch=BATCH,
                epochs=EPOCHS, lr=LR)
     print(json.dumps(res))

@@ -155,3 +155,20 @@ def test_rotate_bf16_matches_f32():
     np.testing.assert_allclose(
         np.asarray(bf16, np.float32), np.asarray(f32), atol=2.5
     )  # bf16 pixel quantization is ~1 unit at 255, x2 interp taps
+
+
+def test_rotate_nhwc_matches_transposed():
+    """The round-3 NHWC-native path must reproduce the round-2 transposed
+    path (same three-shear math, different layout/grid) to interpolation
+    tolerance on every image, including non-128-multiple sizes."""
+    from fdtpu.kernels.rotate_pallas import rotate_batch_transposed
+
+    rng = np.random.default_rng(7)
+    for s in (64, 160):
+        imgs = rng.integers(0, 255, size=(3, s, s, 3)).astype(np.float32)
+        ang = jnp.asarray([0.31, -0.22, 0.0])
+        new = rotate_batch(jnp.asarray(imgs), ang, interpret=True)
+        old = rotate_batch_transposed(jnp.asarray(imgs), ang, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(new), np.asarray(old), atol=0.15
+        )  # both separable-bilinear; differ only in f32 summation order
