@@ -76,6 +76,16 @@ def poolresnet_forward_flops(
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rotate-device", action="store_true",
+                    help="include the on-device Rotate pass in the train "
+                         "step (BASELINE.md end-to-end matrix row); default "
+                         "off = the faithful host-rotation-off-hot-path "
+                         "headline the driver records")
+    args = ap.parse_args()
+
     from fdtpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -93,7 +103,7 @@ def main():
         filters=FILTERS, input_shape=(SIZE, SIZE), num_patches=15,
         num_residual_blocks=BLOCKS,
     )
-    config = TrainConfig(use_sam=True)
+    config = TrainConfig(use_sam=True, rotate_device=args.rotate_device)
     state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 100)
     raw_step = make_train_step(module, tx, config, augment=True, jit=False)
 

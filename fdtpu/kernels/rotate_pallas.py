@@ -206,10 +206,11 @@ def _shear_x_kernel(k_ref, in_ref, out_ref, *, band, j_slices, lanes, c,
     b = pl.program_id(1)
     r0 = b * band
     kb = in_ref.shape[0]
+    i0 = pl.program_id(0) * kb  # k_ref is the full unblocked SMEM array
     rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
 
     def per_image(i, carry):
-        k = k_ref[i]
+        k = k_ref[i0 + i, 0]
         t = k * (rows.astype(jnp.float32) - row_center)
         n = jnp.floor(t)
         f = t - n
@@ -239,12 +240,13 @@ def _shear_y_kernel(k_ref, in_ref, out_ref, *, rows, j_slices, c, col_center,
     closure constant because the lane-block index maps blocks)."""
     b = pl.program_id(1)
     kb = in_ref.shape[0]
+    i0 = pl.program_id(0) * kb  # k_ref is the full unblocked SMEM array
     lane = (lane0 + b * 128
             + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1))
     x = lane // c
 
     def per_image(i, carry):
-        k = k_ref[i]
+        k = k_ref[i0 + i, 0]
         t = k * (x.astype(jnp.float32) - col_center)
         n = jnp.floor(t)
         f = t - n
@@ -263,7 +265,20 @@ def _shear_y_kernel(k_ref, in_ref, out_ref, *, rows, j_slices, c, col_center,
     jax.lax.fori_loop(0, kb, per_image, 0)
 
 
-_KB_BYTES = 4 * 1024 * 1024  # VMEM budget per in/out block of a shear pass
+# VMEM budget per in/out block of a shear pass. Sized for the REAL resident
+# set: (in + out) x Pallas double-buffering = 4 blocks, plus the kernel's
+# f32 src/acc intermediates, inside the ~16 MB scoped-vmem limit (a 4 MB
+# budget OOM'd the limit by 12 KB on v5e).
+_KB_BYTES = 2 * 1024 * 1024
+
+
+def _batch_chunk(kk: int, kb_max: int) -> int:
+    """Images per grid chunk: distribute ``kk`` evenly over the minimum
+    number of <= ``kb_max``-image chunks instead of padding up to a full
+    chunk — ceil-rounding sheared up to 60% dead padded images (e.g. the
+    b128 rotate subset of 26 at kb_max 21 padded to 42)."""
+    kb_max = max(1, kb_max)
+    return -(-kk // (-(-kk // kb_max)))
 
 
 def _shear_x(planes, k, *, k_max, row_center, interpret=False, band=16):
@@ -273,9 +288,9 @@ def _shear_x(planes, k, *, k_max, row_center, interpret=False, band=16):
     c = 3
     j_slices = math.ceil(k_max * (band - 1)) + 2
     itemsize = jnp.dtype(planes.dtype).itemsize
-    kb = max(1, min(kk, _KB_BYTES // (band * l * itemsize)))
+    kb = _batch_chunk(kk, _KB_BYTES // (band * l * itemsize))
     k_pad = -(-kk // kb) * kb
-    kcoef = jnp.pad(k.astype(jnp.float32), (0, k_pad - kk))
+    kcoef = jnp.pad(k.astype(jnp.float32), (0, k_pad - kk)).reshape(k_pad, 1)
     if k_pad != kk:
         planes = jnp.pad(planes, ((0, k_pad - kk), (0, 0), (0, 0)))
     kernel = functools.partial(
@@ -286,8 +301,7 @@ def _shear_x(planes, k, *, k_max, row_center, interpret=False, band=16):
         kernel,
         grid=(k_pad // kb, r // band),
         in_specs=[
-            pl.BlockSpec((kb,), lambda i, b: (i,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (k_pad, 1) coefs
             pl.BlockSpec((kb, band, l), lambda i, b: (i, b, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -311,9 +325,9 @@ def _shear_y(planes, k, *, k_max, col_center, interpret=False):
     span = 128 // c + 1
     j_slices = math.ceil(k_max * span) + 2
     itemsize = jnp.dtype(planes.dtype).itemsize
-    kb = max(1, min(kk, _KB_BYTES // (r * 128 * itemsize)))
+    kb = _batch_chunk(kk, _KB_BYTES // (r * 128 * itemsize))
     k_pad = -(-kk // kb) * kb
-    kcoef = jnp.pad(k.astype(jnp.float32), (0, k_pad - kk))
+    kcoef = jnp.pad(k.astype(jnp.float32), (0, k_pad - kk)).reshape(k_pad, 1)
     if k_pad != kk:
         planes = jnp.pad(planes, ((0, k_pad - kk), (0, 0), (0, 0)))
     kernel = functools.partial(
@@ -324,8 +338,7 @@ def _shear_y(planes, k, *, k_max, col_center, interpret=False):
         kernel,
         grid=(k_pad // kb, l // 128),
         in_specs=[
-            pl.BlockSpec((kb,), lambda i, b: (i,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (k_pad, 1) coefs
             pl.BlockSpec((kb, r, 128), lambda i, b: (i, 0, b),
                          memory_space=pltpu.VMEM),
         ],

@@ -241,6 +241,11 @@ def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
               torch_init=False):
     import jax
 
+    # _data() force-sets the cpu platform (it serves the torch arm); build
+    # the loaders FIRST, then pin the requested platform — the last update
+    # before backend init wins, so the old order silently ran --platform
+    # tpu on the CPU backend.
+    train_loader, val_loader = _data(tmp)
     if platform:
         jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
@@ -250,7 +255,6 @@ def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
     from fdtpu.utils.config import TrainConfig
 
     patch_sizes = tuple(ssd_patch_sizes((SIZE, SIZE)))
-    train_loader, val_loader = _data(tmp)
     module = SSD(
         filters=16, input_shape=(SIZE, SIZE), patch_sizes=patch_sizes,
         dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
@@ -292,6 +296,7 @@ def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
         "ap50": round(ap, 4),
         "steps": int(trainer.state.step),
         "wall_s": round(time.time() - t0, 1),
+        "platform": jax.default_backend(),
     }
 
 
