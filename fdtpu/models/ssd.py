@@ -43,9 +43,15 @@ class SSD(nn.Module):
     patch_sizes: tuple[int, ...] = (60, 30, 15, 7)
     dropout: float = 0.25  # block Dropout2d rate (SSD.py:16 default)
     dtype: Dtype = jnp.bfloat16
-    # torch nn.Conv2d/Linear default init instead of flax lecun_normal —
-    # convergence parity with the reference (BASELINE.md SSD control)
-    torch_init: bool = False
+    # torch nn.Conv2d/Linear default init (kaiming_uniform(a=sqrt(5)) +
+    # uniform bias) — the init the reference actually trains under, and the
+    # DEFAULT here because SSD convergence is init-sensitive: flax's
+    # lecun_normal + zero bias puts every initial sigmoid confidence at
+    # exactly 0.5, so ``-log(conf)`` hard-negative mining starts with no
+    # ranking signal and generalization collapses (synthetic control:
+    # AP@0.5 0.24-0.30 flax-init vs 0.72-0.73 torch-init vs 0.87 for the
+    # architecture-identical torch model — BASELINE.md round-3 SSD control).
+    torch_init: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

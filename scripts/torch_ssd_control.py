@@ -1,15 +1,23 @@
 """SSD generalization CONTROL (round-2 VERDICT weak-item 1).
 
 fdtpu's synthetic-generalization experiment measured AP@0.5 = 0.208 for
-SSD-16 vs 0.924 for the YOLO flagship on the same data, and BASELINE.md
-attributes the gap to the reference's per-prior hard-negative-mining
-objective (``/root/reference/losses/SSDLoss.py:56-86``,
+SSD-16 vs 0.924 for the YOLO flagship on the same data, and round-2
+BASELINE.md attributed the gap to the reference's per-prior
+hard-negative-mining objective (``/root/reference/losses/SSDLoss.py:56-86``,
 ``train_model_ssd.py:10-61``). This script runs the control: the
 architecture-identical TORCH SSD (``RefEquivalentSSD`` from
 ``torch_cpu_baseline.py``) trained on the same synthetic dataset with the
 same objective, decoded and scored through the SAME fdtpu decode+AP code
-(jax CPU) — so any large AP difference would indicate an fdtpu port bug
+(jax CPU) — so any large AP difference indicates an fdtpu-side cause
 rather than an objective pathology.
+
+VERDICT (round 3, measured — see BASELINE.md "SSD generalization
+control"): torch control AP 0.872-0.878; fdtpu 0.24-0.30 with flax
+default init but **0.72-0.73 with ``--torch-init``** (f32/bf16 and
+streamed/resident arms indistinguishable). The round-2 attribution was
+wrong: the cause was flax's zero-bias init pinning every initial sigmoid
+confidence at 0.5, which starves ``-log(conf)`` mining of a ranking
+signal. ``SSD(torch_init=True)`` is now the model default.
 
 The full 320px/1024-image fdtpu run is infeasible on this 1-core CPU
 (~13 img/s -> half a day), so the control runs a shrunk config and the
@@ -244,10 +252,13 @@ def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
     # _data() force-sets the cpu platform (it serves the torch arm); build
     # the loaders FIRST, then pin the requested platform — the last update
     # before backend init wins, so the old order silently ran --platform
-    # tpu on the CPU backend.
+    # tpu on the CPU backend. "tpu" must reset to AUTO ("") — the axon
+    # plugin's TPU is only reachable through automatic selection
+    # (jax_platforms="tpu" probes the local libtpu path: "no jellyfish
+    # device found").
     train_loader, val_loader = _data(tmp)
     if platform:
-        jax.config.update("jax_platforms", platform)
+        jax.config.update("jax_platforms", "" if platform == "tpu" else platform)
     import jax.numpy as jnp
 
     from fdtpu.models import SSD, ssd_patch_sizes

@@ -80,6 +80,30 @@ def test_ssd_forward():
     assert (s >= 0).all() and (s <= 1).all()  # sigmoid on scores only
 
 
+def test_ssd_default_init_is_torch():
+    """SSD defaults to torch nn.Conv2d/Linear init (kaiming_uniform +
+    uniform bias). Guards the round-3 convergence finding: flax's zero-bias
+    lecun_normal puts every initial sigmoid confidence at exactly 0.5, which
+    starves -log(conf) hard-negative mining of a ranking signal (synthetic
+    AP@0.5 0.24-0.30 vs 0.72-0.73 with torch init — BASELINE.md SSD
+    control)."""
+    ps = ssd_patch_sizes((160, 160))
+    m = SSD(filters=4, input_shape=(160, 160), patch_sizes=ps)
+    assert m.torch_init
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    params = m.init(KEY, x, train=False)["params"]
+    stem = params["Conv_0"]
+    fan_in = 3 * 3 * 3
+    bound = 1.0 / np.sqrt(fan_in)
+    b = np.asarray(stem["bias"])
+    assert (np.abs(b) <= bound).all() and np.abs(b).max() > 0  # uniform, nonzero
+    assert np.abs(np.asarray(stem["kernel"])).max() <= bound
+    # initial confidences must be spread, not pinned at 0.5
+    out = m.apply({"params": params}, x, train=False)
+    s = np.asarray(out[0, :, 0])
+    assert s.std() > 1e-3
+
+
 def test_ssd_320_patch_sizes():
     ps = ssd_patch_sizes((320, 320))
     assert ps == (40, 20, 10, 5)

@@ -124,9 +124,13 @@ def test_ssd_train_step(loaders):
 
 def test_ssd_synthetic_ap_gate():
     """SSD quality regression gate (VERDICT round-1 item 8): memorizing a
-    small synthetic set must reach AP@0.5 >= 0.35 within 300 steps
-    (calibrated: AP 0.5+ at step 300, 0.6+ at 400 on this config). Guards the
-    whole SSD chain end to end — encode, loss/mining, decode, NMS, AP."""
+    small synthetic set must reach AP@0.5 >= 0.35 within 500 steps.
+    Calibrated for the torch-init default (round 3): AP 0.18 at step 300,
+    0.41 at 400, 0.54 at 500 on this config — torch init memorizes more
+    slowly than the old flax init (spread initial confidences give mining
+    real negatives to suppress from step 0) but generalizes 3x better (see
+    BASELINE.md SSD control). Guards the whole SSD chain end to end —
+    encode, loss/mining, decode, NMS, AP."""
     import tempfile
     from pathlib import Path
 
@@ -148,7 +152,7 @@ def test_ssd_synthetic_ap_gate():
     )
     state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 100)
     step = make_train_step(module, tx, config, augment=False, neg_pos_ratio=10)
-    for _ in range(300):
+    for _ in range(500):
         state, _ = step(state, batch.images, batch.boxes, batch.box_mask,
                         batch.sample_mask, jax.random.PRNGKey(5))
     ev = make_eval_step(module, config, return_boxes=True)
