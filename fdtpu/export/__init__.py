@@ -6,3 +6,4 @@ from fdtpu.export.export import (  # noqa: F401
     load_exported,
     make_predict_fn,
 )
+from fdtpu.export.native_format import export_native  # noqa: F401

@@ -1,0 +1,514 @@
+// fdtpu native inference engine: executes .fdn artifacts (grid detectors)
+// with zero Python/JAX at serving time — the TPU-framework analogue of the
+// reference's lite-interpreter / onnxruntime deployment path
+// (/root/reference/demo_scripts/convert_checkpoint_to_scripted_model.py:51-54,
+//  demo_model_onnx.py:26-31).
+//
+// Format + op codes: fdtpu/export/native_format.py (FDN1). Everything is
+// f32 NHWC. The decode+filter+NMS matches fdtpu.core.nms / torchvision
+// semantics exactly: strict > threshold, descending-score order with
+// lowest-index tie-break (stable sort), xyxy rounded half-to-even
+// (nearbyintf under the default FE_TONEAREST, like jnp.round/torch.round),
+// suppression strictly above the IoU threshold, boxes emitted compacted in
+// pick order (the ragged torchvision return, datasets/utils.py:157-170).
+//
+// Convolutions run as im2col + a register-blocked SAXPY-style GEMM that GCC
+// auto-vectorizes (AVX2/FMA on this host); depthwise convs take a direct
+// channel-vectorized path. Batch images are distributed over a thread pool
+// (one image per task — the host here has 1 core, the code scales anyway).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <algorithm>
+#include <numeric>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kMagic = 0x314E4446u;  // "FDN1"
+constexpr uint64_t kNoBias = ~0ull;
+
+enum OpCode : uint32_t {
+  OP_CONV = 1,
+  OP_LEAKY = 2,
+  OP_MAXPOOL2 = 3,
+  OP_SIGMOID = 4,
+  OP_PUSH = 5,
+  OP_ADDSKIP = 6,
+  OP_DECODE_NMS = 7,
+  OP_TRANSPOSE_GRID = 8,  // swap the (S, S) axes of the (S, S, C) map
+};
+
+struct Op {
+  uint32_t code;
+  int32_t p[6];  // conv: k, stride, pad, cin, cout, groups
+  float f0;      // leaky slope
+  uint64_t woff, boff;
+};
+
+struct Model {
+  uint32_t n_ops, in_h, in_w, grid_s, capacity;
+  float prob_thr, iou_thr;
+  std::vector<Op> ops;
+  std::vector<float> blob;
+  size_t act_elems = 0, col_elems = 0;  // scratch sizing (exact walk)
+};
+
+struct Tensor {
+  int h = 0, w = 0, c = 0;
+  float* d = nullptr;  // borrowed from scratch
+};
+
+// Per-thread scratch: two activation buffers + skip + im2col matrix.
+struct Scratch {
+  std::vector<float> a, b, skip, col;
+  explicit Scratch(const Model& m) {
+    a.resize(m.act_elems);
+    b.resize(m.act_elems);
+    skip.resize(m.act_elems);
+    col.resize(m.col_elems);
+  }
+};
+
+bool read_model(const char* path, Model* m) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint32_t head_u[7];
+  float head_f[2];
+  uint64_t blob_bytes;
+  if (fread(head_u, 4, 7, f) != 7 || fread(head_f, 4, 2, f) != 2 ||
+      fread(&blob_bytes, 8, 1, f) != 1 || head_u[0] != kMagic ||
+      head_u[1] != 1) {
+    fclose(f);
+    return false;
+  }
+  m->n_ops = head_u[2];
+  m->in_h = head_u[3];
+  m->in_w = head_u[4];
+  m->grid_s = head_u[5];
+  m->capacity = head_u[6];
+  m->prob_thr = head_f[0];
+  m->iou_thr = head_f[1];
+  m->ops.resize(m->n_ops);
+  for (auto& op : m->ops) {
+    if (fread(&op.code, 4, 1, f) != 1 || fread(op.p, 4, 6, f) != 6 ||
+        fread(&op.f0, 4, 1, f) != 1 || fread(&op.woff, 8, 1, f) != 1 ||
+        fread(&op.boff, 8, 1, f) != 1) {
+      fclose(f);
+      return false;
+    }
+  }
+  m->blob.resize(blob_bytes / 4);
+  if (blob_bytes && fread(m->blob.data(), 1, blob_bytes, f) != blob_bytes) {
+    fclose(f);
+    return false;
+  }
+  fclose(f);
+
+  // Walk shapes once to size scratch buffers exactly.
+  int h = m->in_h, w = m->in_w, c = 3;
+  m->act_elems = (size_t)h * w * c;
+  m->col_elems = 1;
+  for (const auto& op : m->ops) {
+    if (op.code == OP_CONV) {
+      int k = op.p[0], s = op.p[1], p = op.p[2], cout = op.p[4],
+          groups = op.p[5];
+      int oh = (h + 2 * p - k) / s + 1;
+      int ow = (w + 2 * p - k) / s + 1;
+      if (groups == 1)
+        m->col_elems =
+            std::max(m->col_elems, (size_t)oh * ow * k * k * c);
+      h = oh;
+      w = ow;
+      c = cout;
+      m->act_elems = std::max(m->act_elems, (size_t)h * w * c);
+    } else if (op.code == OP_MAXPOOL2) {
+      h /= 2;
+      w /= 2;
+    }
+  }
+  return true;
+}
+
+// Generic edge kernel: any mr/nr tile, bias fused into the init.
+void gemm_edge(const float* col, const float* wm, const float* bias,
+               float* out, int i0, int mr, int n0, int nr, int K, int N) {
+  for (int i = 0; i < mr; ++i) {
+    float* __restrict o = out + (size_t)(i0 + i) * N + n0;
+    const float* __restrict ai = col + (size_t)(i0 + i) * K;
+    for (int n = 0; n < nr; ++n) o[n] = bias ? bias[n0 + n] : 0.0f;
+    for (int kk = 0; kk < K; ++kk) {
+      float av = ai[kk];
+      const float* __restrict wr = wm + (size_t)kk * N + n0;
+      for (int n = 0; n < nr; ++n) o[n] += av * wr[n];
+    }
+  }
+}
+
+// out(oh*ow, cout) = col(oh*ow, K) x w(K, cout).
+// Micro-kernel chosen by benchmark on this host class (see BASELINE.md
+// native-serving section): 6x32 with the K loop unrolled by 2 — 12 zmm
+// accumulators live across K, ~39 GFLOP/s single-core vs 21 for the naive
+// 4x16 register block. AVX-512 when available; scalar edge fallback.
+#if defined(__AVX512F__)
+#include <immintrin.h>
+void gemm_colmajor_rhs(const float* col, const float* wm, const float* bias,
+                       float* out, int M, int K, int N) {
+  constexpr int MR = 6, NR = 32;
+  int Mmain = M - M % MR, Nmain = N - N % NR;
+  for (int i0 = 0; i0 < Mmain; i0 += MR) {
+    const float* a = col + (size_t)i0 * K;
+    for (int n0 = 0; n0 < Nmain; n0 += NR) {
+      __m512 acc0[MR], acc1[MR];
+      for (int i = 0; i < MR; ++i) {
+        acc0[i] = _mm512_setzero_ps();
+        acc1[i] = _mm512_setzero_ps();
+      }
+      const float* wp = wm + n0;
+      int kk = 0;
+      for (; kk + 2 <= K; kk += 2) {
+        __m512 w0 = _mm512_loadu_ps(wp + (size_t)kk * N);
+        __m512 w1 = _mm512_loadu_ps(wp + (size_t)kk * N + 16);
+        __m512 u0 = _mm512_loadu_ps(wp + (size_t)(kk + 1) * N);
+        __m512 u1 = _mm512_loadu_ps(wp + (size_t)(kk + 1) * N + 16);
+        for (int i = 0; i < MR; ++i) {
+          __m512 av = _mm512_set1_ps(a[(size_t)i * K + kk]);
+          __m512 bv = _mm512_set1_ps(a[(size_t)i * K + kk + 1]);
+          acc0[i] = _mm512_fmadd_ps(av, w0, acc0[i]);
+          acc1[i] = _mm512_fmadd_ps(av, w1, acc1[i]);
+          acc0[i] = _mm512_fmadd_ps(bv, u0, acc0[i]);
+          acc1[i] = _mm512_fmadd_ps(bv, u1, acc1[i]);
+        }
+      }
+      for (; kk < K; ++kk) {
+        __m512 w0 = _mm512_loadu_ps(wp + (size_t)kk * N);
+        __m512 w1 = _mm512_loadu_ps(wp + (size_t)kk * N + 16);
+        for (int i = 0; i < MR; ++i) {
+          __m512 av = _mm512_set1_ps(a[(size_t)i * K + kk]);
+          acc0[i] = _mm512_fmadd_ps(av, w0, acc0[i]);
+          acc1[i] = _mm512_fmadd_ps(av, w1, acc1[i]);
+        }
+      }
+      for (int i = 0; i < MR; ++i) {
+        float* o = out + (size_t)(i0 + i) * N + n0;
+        __m512 b0 = bias ? _mm512_loadu_ps(bias + n0) : _mm512_setzero_ps();
+        __m512 b1 =
+            bias ? _mm512_loadu_ps(bias + n0 + 16) : _mm512_setzero_ps();
+        _mm512_storeu_ps(o, _mm512_add_ps(acc0[i], b0));
+        _mm512_storeu_ps(o + 16, _mm512_add_ps(acc1[i], b1));
+      }
+    }
+    if (Nmain < N)
+      gemm_edge(col, wm, bias, out, i0, MR, Nmain, N - Nmain, K, N);
+  }
+  if (Mmain < M)
+    gemm_edge(col, wm, bias, out, Mmain, M - Mmain, 0, N, K, N);
+}
+#else
+// Portable register-blocked 4x16 (GCC auto-vectorizes to AVX2/NEON).
+void gemm_colmajor_rhs(const float* col, const float* wm, const float* bias,
+                       float* out, int M, int K, int N) {
+  constexpr int MR = 4, NR = 16;
+  int Mmain = M - M % MR, Nmain = N - N % NR;
+  for (int i0 = 0; i0 < Mmain; i0 += MR) {
+    for (int n0 = 0; n0 < Nmain; n0 += NR) {
+      float acc[MR][NR] = {};
+      const float* __restrict a0 = col + (size_t)i0 * K;
+      const float* __restrict a1 = a0 + K;
+      const float* __restrict a2 = a1 + K;
+      const float* __restrict a3 = a2 + K;
+      const float* __restrict wp = wm + n0;
+      for (int kk = 0; kk < K; ++kk) {
+        const float* __restrict wr = wp + (size_t)kk * N;
+        float v0 = a0[kk], v1 = a1[kk], v2 = a2[kk], v3 = a3[kk];
+        for (int n = 0; n < NR; ++n) {
+          float w = wr[n];
+          acc[0][n] += v0 * w;
+          acc[1][n] += v1 * w;
+          acc[2][n] += v2 * w;
+          acc[3][n] += v3 * w;
+        }
+      }
+      for (int i = 0; i < MR; ++i) {
+        float* __restrict o = out + (size_t)(i0 + i) * N + n0;
+        if (bias)
+          for (int n = 0; n < NR; ++n) o[n] = acc[i][n] + bias[n0 + n];
+        else
+          for (int n = 0; n < NR; ++n) o[n] = acc[i][n];
+      }
+    }
+    if (Nmain < N)
+      gemm_edge(col, wm, bias, out, i0, MR, Nmain, N - Nmain, K, N);
+  }
+  if (Mmain < M)
+    gemm_edge(col, wm, bias, out, Mmain, M - Mmain, 0, N, K, N);
+}
+#endif
+
+void conv(const Model& m, const Op& op, const Tensor& in, Tensor* out,
+          Scratch* s) {
+  int k = op.p[0], st = op.p[1], p = op.p[2], cout = op.p[4],
+      groups = op.p[5];
+  int oh = (in.h + 2 * p - k) / st + 1;
+  int ow = (in.w + 2 * p - k) / st + 1;
+  out->h = oh;
+  out->w = ow;
+  out->c = cout;
+  const float* wm = m.blob.data() + op.woff / 4;
+  const float* bias =
+      op.boff == kNoBias ? nullptr : m.blob.data() + op.boff / 4;
+
+  if (groups > 1) {  // depthwise: groups == cin == cout, w (k*k, c)
+    for (int oy = 0; oy < oh; ++oy) {
+      for (int ox = 0; ox < ow; ++ox) {
+        float* __restrict o = out->d + ((size_t)oy * ow + ox) * cout;
+        if (bias)
+          std::memcpy(o, bias, cout * sizeof(float));
+        else
+          std::memset(o, 0, cout * sizeof(float));
+        for (int dy = 0; dy < k; ++dy) {
+          int iy = oy * st - p + dy;
+          if (iy < 0 || iy >= in.h) continue;
+          for (int dx = 0; dx < k; ++dx) {
+            int ix = ox * st - p + dx;
+            if (ix < 0 || ix >= in.w) continue;
+            const float* __restrict iv =
+                in.d + ((size_t)iy * in.w + ix) * cout;
+            const float* __restrict wr = wm + (size_t)(dy * k + dx) * cout;
+            for (int c = 0; c < cout; ++c) o[c] += iv[c] * wr[c];
+          }
+        }
+      }
+    }
+    return;
+  }
+
+  int K = k * k * in.c;
+  float* col = s->col.data();
+  for (int oy = 0; oy < oh; ++oy) {
+    for (int ox = 0; ox < ow; ++ox) {
+      float* dst = col + ((size_t)oy * ow + ox) * K;
+      for (int dy = 0; dy < k; ++dy) {
+        int iy = oy * st - p + dy;
+        if (iy < 0 || iy >= in.h) {
+          std::memset(dst, 0, (size_t)k * in.c * sizeof(float));
+          dst += (size_t)k * in.c;
+          continue;
+        }
+        int dx = 0;
+        for (; dx < k; ++dx) {
+          int ix = ox * st - p + dx;
+          if (ix < 0 || ix >= in.w) {
+            std::memset(dst, 0, in.c * sizeof(float));
+          } else {
+            std::memcpy(dst, in.d + ((size_t)iy * in.w + ix) * in.c,
+                        in.c * sizeof(float));
+          }
+          dst += in.c;
+        }
+      }
+    }
+  }
+  gemm_colmajor_rhs(col, wm, bias, out->d, oh * ow, K, cout);
+}
+
+void decode_nms(const Model& m, const Tensor& fm, float* boxes,
+                unsigned char* mask) {
+  int S = m.grid_s, cap = m.capacity;
+  float W = (float)m.in_w, H = (float)m.in_h;
+  float xp = W / S, yp = H / S;
+  int n = S * S;
+  std::vector<float> score(n), x0(n), y0(n), x1(n), y1(n);
+  std::vector<int> cand;
+  cand.reserve(n);
+  for (int j = 0; j < S; ++j) {
+    for (int i = 0; i < S; ++i) {
+      const float* v = fm.d + ((size_t)j * S + i) * 5;
+      int idx = j * S + i;
+      score[idx] = v[0];
+      if (v[0] > m.prob_thr) {  // strict >, utils.py:111
+        float x = v[1] * xp + i * xp;
+        float y = v[2] * yp + j * yp;
+        float w = v[3] * W, h = v[4] * H;
+        // round like jnp.round/torch.round: half-to-even
+        x0[idx] = nearbyintf(x);
+        y0[idx] = nearbyintf(y);
+        x1[idx] = nearbyintf(x + w);
+        y1[idx] = nearbyintf(y + h);
+        cand.push_back(idx);
+      }
+    }
+  }
+  // descending score, stable (lowest original index wins ties)
+  std::stable_sort(cand.begin(), cand.end(),
+                   [&](int a, int b) { return score[a] > score[b]; });
+  std::memset(boxes, 0, (size_t)cap * 5 * sizeof(float));
+  std::memset(mask, 0, cap);
+  std::vector<char> dead(cand.size(), 0);
+  int out = 0;
+  for (size_t i = 0; i < cand.size() && out < cap; ++i) {
+    if (dead[i]) continue;
+    int a = cand[i];
+    float* row = boxes + (size_t)out * 5;
+    row[0] = score[a];
+    row[1] = x0[a];
+    row[2] = y0[a];
+    row[3] = x1[a] - x0[a];
+    row[4] = y1[a] - y0[a];
+    mask[out++] = 1;
+    float aw = std::max(x1[a] - x0[a], 0.0f);
+    float ah = std::max(y1[a] - y0[a], 0.0f);
+    float area_a = aw * ah;
+    for (size_t j = i + 1; j < cand.size(); ++j) {
+      if (dead[j]) continue;
+      int b = cand[j];
+      float ix0 = std::max(x0[a], x0[b]), iy0 = std::max(y0[a], y0[b]);
+      float ix1 = std::min(x1[a], x1[b]), iy1 = std::min(y1[a], y1[b]);
+      float inter =
+          std::max(ix1 - ix0, 0.0f) * std::max(iy1 - iy0, 0.0f);
+      float bw = std::max(x1[b] - x0[b], 0.0f);
+      float bh = std::max(y1[b] - y0[b], 0.0f);
+      float uni = area_a + bw * bh - inter;
+      float iou = uni > 0 ? inter / uni : 0.0f;
+      if (iou > m.iou_thr) dead[j] = 1;
+    }
+  }
+}
+
+void run_image(const Model& m, const float* img, float* boxes,
+               unsigned char* mask, Scratch* s) {
+  Tensor cur{(int)m.in_h, (int)m.in_w, 3, s->a.data()};
+  Tensor nxt{0, 0, 0, s->b.data()};
+  Tensor skip{0, 0, 0, s->skip.data()};
+  size_t npix = (size_t)m.in_h * m.in_w * 3;
+  for (size_t i = 0; i < npix; ++i) cur.d[i] = img[i] / 255.0f;
+
+  for (const auto& op : m.ops) {
+    switch (op.code) {
+      case OP_CONV:
+        conv(m, op, cur, &nxt, s);
+        std::swap(cur.d, nxt.d);
+        cur.h = nxt.h;
+        cur.w = nxt.w;
+        cur.c = nxt.c;
+        break;
+      case OP_LEAKY: {
+        size_t nn = (size_t)cur.h * cur.w * cur.c;
+        float sl = op.f0;
+        for (size_t i = 0; i < nn; ++i)
+          cur.d[i] = cur.d[i] < 0 ? sl * cur.d[i] : cur.d[i];
+        break;
+      }
+      case OP_MAXPOOL2: {
+        int oh = cur.h / 2, ow = cur.w / 2, c = cur.c;
+        for (int oy = 0; oy < oh; ++oy)
+          for (int ox = 0; ox < ow; ++ox) {
+            const float* i00 =
+                cur.d + ((size_t)(2 * oy) * cur.w + 2 * ox) * c;
+            const float* i01 = i00 + c;
+            const float* i10 = i00 + (size_t)cur.w * c;
+            const float* i11 = i10 + c;
+            float* o = nxt.d + ((size_t)oy * ow + ox) * c;
+            for (int ch = 0; ch < c; ++ch)
+              o[ch] = std::max(std::max(i00[ch], i01[ch]),
+                               std::max(i10[ch], i11[ch]));
+          }
+        std::swap(cur.d, nxt.d);
+        cur.h = oh;
+        cur.w = ow;
+        break;
+      }
+      case OP_SIGMOID: {
+        size_t nn = (size_t)cur.h * cur.w * cur.c;
+        for (size_t i = 0; i < nn; ++i)
+          cur.d[i] = 1.0f / (1.0f + std::exp(-cur.d[i]));
+        break;
+      }
+      case OP_PUSH:
+        std::memcpy(skip.d, cur.d,
+                    (size_t)cur.h * cur.w * cur.c * sizeof(float));
+        skip.h = cur.h;
+        skip.w = cur.w;
+        skip.c = cur.c;
+        break;
+      case OP_ADDSKIP: {
+        size_t nn = (size_t)cur.h * cur.w * cur.c;
+        for (size_t i = 0; i < nn; ++i) cur.d[i] += skip.d[i];
+        break;
+      }
+      case OP_TRANSPOSE_GRID: {
+        // reference grid convention fm[:, x_cell, y_cell] -> fdtpu [y, x]
+        // (fdtpu/compat ReferenceLayoutGrid)
+        int s = cur.h, c = cur.c;
+        for (int y = 0; y < s; ++y)
+          for (int x = 0; x < s; ++x)
+            std::memcpy(nxt.d + ((size_t)y * s + x) * c,
+                        cur.d + ((size_t)x * s + y) * c, c * sizeof(float));
+        std::swap(cur.d, nxt.d);
+        break;
+      }
+      case OP_DECODE_NMS:
+        decode_nms(m, cur, boxes, mask);
+        break;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* fdn_load(const char* path) {
+  auto* m = new Model();
+  if (!read_model(path, m)) {
+    delete m;
+    return nullptr;
+  }
+  return m;
+}
+
+void fdn_free(void* h) { delete static_cast<Model*>(h); }
+
+// Returns 0 on success; fills input height/width and NMS capacity.
+int fdn_info(void* h, int* in_h, int* in_w, int* capacity) {
+  if (!h) return -1;
+  auto* m = static_cast<Model*>(h);
+  *in_h = (int)m->in_h;
+  *in_w = (int)m->in_w;
+  *capacity = (int)m->capacity;
+  return 0;
+}
+
+// imgs: (batch, in_h, in_w, 3) f32 in [0, 255] (the engine normalizes /255
+// like BaseModel.py:66). boxes: (batch, capacity, 5) rows
+// [score, x, y, w, h] pixels; mask: (batch, capacity) 0/1.
+int fdn_predict(void* h, const float* imgs, int batch, float* boxes,
+                unsigned char* mask, int num_threads) {
+  if (!h || batch <= 0) return -1;
+  auto* m = static_cast<Model*>(h);
+  if (num_threads <= 0)
+    num_threads = (int)std::thread::hardware_concurrency();
+  num_threads = std::max(1, std::min(num_threads, batch));
+  size_t img_sz = (size_t)m->in_h * m->in_w * 3;
+  size_t box_sz = (size_t)m->capacity * 5;
+
+  auto worker = [&](int t) {
+    Scratch s(*m);
+    for (int i = t; i < batch; i += num_threads)
+      run_image(*m, imgs + i * img_sz, boxes + i * box_sz,
+                mask + (size_t)i * m->capacity, &s);
+  };
+  if (num_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < num_threads; ++t) ts.emplace_back(worker, t);
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
+
+}  // extern "C"
