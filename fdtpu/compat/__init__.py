@@ -4,6 +4,7 @@ and structured pruning over Flax param pytrees."""
 from fdtpu.compat.torch_import import (  # noqa: F401
     ReferenceLayoutGrid,
     load_reference_detector,
+    pretrained_backbone_variables,
     load_torchscript_weights,
     read_torchscript_state_dict,
 )

@@ -223,3 +223,23 @@ class ReferenceLayoutGrid(nn.Module):
 
     def grid_size(self):
         return self.inner.grid_size()
+
+
+def pretrained_backbone_variables(path: str, module, fresh_variables) -> dict:
+    """Initialize MobileNetV3 for *from-scratch training* with a pretrained
+    backbone and a fresh detection head.
+
+    The reference builds its MobileNetV3 feature extractor from timm with
+    ``pretrained=True`` (``/root/reference/models/MobilenetV3Backbone.py:33-39``)
+    — ImageNet backbone weights under a randomly-initialized 5-channel head.
+    timm isn't available here, but the official WIDERFace-trained checkpoint
+    is, and its backbone is a strictly stronger starting point; this imports
+    it and swaps the head for ``fresh_variables``' randomly-initialized one
+    (the head has no BatchNorm, so ``batch_stats`` transfer whole).
+    """
+    imported = load_torchscript_weights(path, module, fresh_variables)
+    params = dict(imported["params"])
+    params["head"] = fresh_variables["params"]["head"]
+    out = dict(imported)
+    out["params"] = params
+    return out

@@ -48,10 +48,13 @@ def download_dataset_files(
     """Ensure the WIDERFace archives are present and extracted.
 
     The reference uses ``gdown.cached_download`` (``datamodule.py:60-67``);
-    without egress we extract any local zips and otherwise raise with the
-    URLs so a user can fetch them out of band. Only ``required`` splits are
-    mandatory (training needs train/val/annotations; the unlabeled test
-    split is optional).
+    here non-Google-Drive URLs are fetched directly (urllib, streamed) when
+    the host has egress, local zips are extracted, and anything still
+    missing raises with the URLs so a user can fetch out of band (Drive
+    links need cookie negotiation — the reference's gdown dependency — and
+    this container has no egress anyway, so they are never auto-fetched).
+    Only ``required`` splits are mandatory (training needs
+    train/val/annotations; the unlabeled test split is optional).
     """
     data_dir = Path(data_dir)
     data_dir.mkdir(parents=True, exist_ok=True)
@@ -62,6 +65,8 @@ def download_dataset_files(
         zip_path = data_dir / link["output"]
         if folder.exists():
             continue
+        if not zip_path.exists() and "drive.google" not in link["url"]:
+            _try_fetch(link["url"], zip_path)
         if zip_path.exists():
             with zipfile.ZipFile(zip_path) as zf:
                 zf.extractall(data_dir)
@@ -69,9 +74,29 @@ def download_dataset_files(
         missing.append(f"  {split}: {link['url']} -> {zip_path}")
     if missing:
         raise FileNotFoundError(
-            "WIDERFace archives missing (no network egress here); download "
-            "manually:\n" + "\n".join(missing)
+            "WIDERFace archives missing and not fetchable from here; "
+            "download manually:\n" + "\n".join(missing)
         )
+
+
+def _try_fetch(url: str, dest: Path, timeout: float = 30.0) -> bool:
+    """Best-effort streamed download to ``dest`` (partial files cleaned up);
+    False on any network failure — callers fall back to the manual-URL
+    error."""
+    import shutil
+    import urllib.request
+
+    tmp = dest.with_suffix(dest.suffix + ".part")
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(
+            tmp, "wb"
+        ) as f:
+            shutil.copyfileobj(r, f)
+        tmp.rename(dest)
+        return True
+    except Exception:
+        tmp.unlink(missing_ok=True)
+        return False
 
 
 def parse_wider_annotations(

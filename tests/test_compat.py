@@ -266,3 +266,42 @@ def test_single_image_box_parity_official_checkpoint(rng):
     assert got.shape == want.shape and got.shape[0] >= 1
     np.testing.assert_allclose(got[:, 0], want[:, 0], rtol=1e-4)  # scores
     np.testing.assert_allclose(got[:, 1:], want[:, 1:], atol=1.0)  # coords
+
+
+def test_pretrained_backbone_init():
+    """timm ``pretrained=True`` analogue (``MobilenetV3Backbone.py:33-39``):
+    backbone weights come from the official checkpoint, the detection head
+    stays freshly initialized — at a DIFFERENT resolution than the
+    checkpoint's (backbone convs are resolution-independent)."""
+    from fdtpu.compat import pretrained_backbone_variables
+    from fdtpu.models import MobileNetV3Backbone
+
+    path = OFFICIAL / "MobilenetV3Backbone" / "medium_model_15x15_480.pth"
+    module = MobileNetV3Backbone(
+        input_shape=(160, 160), num_patches=5, dtype=jnp.float32
+    )
+    fresh = module.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 160, 160, 3)), train=False
+    )
+    v = pretrained_backbone_variables(str(path), module, fresh)
+
+    # head is the fresh one
+    np.testing.assert_array_equal(
+        np.asarray(v["params"]["head"]["kernel"]),
+        np.asarray(fresh["params"]["head"]["kernel"]),
+    )
+    # backbone differs from fresh (imported) and matches a direct import
+    from fdtpu.compat import load_torchscript_weights
+
+    imported = load_torchscript_weights(str(path), module, fresh)
+    np.testing.assert_array_equal(
+        np.asarray(v["params"]["conv_stem"]["kernel"]),
+        np.asarray(imported["params"]["conv_stem"]["kernel"]),
+    )
+    assert not np.allclose(
+        np.asarray(v["params"]["conv_stem"]["kernel"]),
+        np.asarray(fresh["params"]["conv_stem"]["kernel"]),
+    )
+    # the assembled variables run at the new resolution
+    out = module.apply(v, jnp.zeros((1, 160, 160, 3)), train=False)
+    assert out.shape == (1, module.grid_size(), module.grid_size(), 5)

@@ -36,6 +36,12 @@ def parse_args():
                    help="plain Adam (the reference's effective behavior)")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrained-backbone", default=None, metavar="PTH",
+                   help="mobilenetv3 only: initialize the backbone from a "
+                        "reference TorchScript checkpoint (fresh head) — the "
+                        "timm pretrained=True analogue "
+                        "(MobilenetV3Backbone.py:33-39); pass 'official' for "
+                        "the bundled WIDERFace-trained checkpoint")
     p.add_argument("--box-capacity", type=int, default=8)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-train-images", type=int, default=0,
@@ -161,6 +167,22 @@ def main():
         module, train_cfg, train_loader, val_loader,
         augment=not args.no_augment, run_name=run_name,
     )
+    if args.pretrained_backbone:
+        if args.model != "mobilenetv3":
+            raise SystemExit("--pretrained-backbone requires --model mobilenetv3")
+        from fdtpu.compat import pretrained_backbone_variables
+
+        path = args.pretrained_backbone
+        if path == "official":
+            path = ("/root/reference/saved_models/official/"
+                    "MobilenetV3Backbone/medium_model_15x15_480.pth")
+        fresh = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+        v = pretrained_backbone_variables(path, module, fresh)
+        trainer.state = trainer.state.replace(
+            params=v["params"], batch_stats=v.get("batch_stats", {})
+        )
+        print(f"backbone initialized from {path} (fresh head)")
     if args.resume:
         trainer.maybe_resume()
     out = trainer.fit()
