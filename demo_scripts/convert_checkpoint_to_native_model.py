@@ -3,9 +3,9 @@ equivalent (``/root/reference/demo_scripts/convert_checkpoint_to_scripted_model.
 ``torch.jit.script`` + ``_save_for_lite_interpreter``): emits a flat op
 program + f32 weights executable by the in-repo C++ engine
 (``fdtpu/native/infer_engine.cpp``) with no JAX/Python runtime. Thresholds
-default to the reference's (prob 0.7, iou 0.01, ``:43-48``). Grid models
-only (PoolResnet/Resnet/SeparableCNN) — SSD/MobileNetV3 use the StableHLO
-converter.
+default to the reference's (prob 0.7, iou 0.01, ``:43-48``). Covers the
+full zoo: PoolResnet/Resnet/SeparableCNN/MobileNetV3 (BatchNorm folded)
+and SSD (multi-scale heads + prior decode).
 """
 
 import argparse
@@ -16,7 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from fdtpu.export import export_native  # noqa: E402
 from fdtpu.models import build_model  # noqa: E402
-from fdtpu.utils.config import DetectorConfig  # noqa: E402
+from fdtpu.utils.config import DetectorConfig, SSDConfig  # noqa: E402
 
 
 def main():
@@ -36,10 +36,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cfg = DetectorConfig(
-        filters=args.filters, input_shape=(args.input, args.input),
-        num_patches=args.patches, num_residual_blocks=args.blocks,
-    )
+    if args.model == "ssd":
+        cfg = SSDConfig(
+            filters=args.filters, input_shape=(args.input, args.input),
+            patch_sizes=(),  # build_model derives ssd_patch_sizes(input)
+        )
+    else:
+        cfg = DetectorConfig(
+            filters=args.filters, input_shape=(args.input, args.input),
+            num_patches=args.patches, num_residual_blocks=args.blocks,
+        )
     module = build_model(args.model, cfg)
     h, w = module.input_shape
     variables = module.init(

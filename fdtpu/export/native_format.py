@@ -22,17 +22,27 @@ Format ``FDN1`` (little-endian):
         u32 code | i32 p0..p5 | f32 f0 | u64 woff | u64 boff
     f32 weight blob
 
-Op codes: CONV=1 (p: k, stride, pad, cin, cout, groups; weights reshaped
-HWIO -> (k*k*cin_per_group, cout) row-major, the C engine's im2col order;
+Op codes: CONV=1 (p: k, stride, pad, cin, cout, groups; pad == -1 means
+TF-style SAME — asymmetric, more at the end; weights reshaped HWIO ->
+(k*k*cin_per_group, cout) row-major, the C engine's im2col order;
 boff == 2^64-1 means bias-free), LEAKY=2 (f0 slope), MAXPOOL2=3, SIGMOID=4,
 PUSH=5 (save skip), ADDSKIP=6 (x += saved), DECODE_NMS=7 (grid decode +
 confidence filter + greedy NMS with the exact ``fdtpu.core.nms`` /
-torchvision semantics, using the header's thresholds).
+torchvision semantics, using the header's thresholds), TRANSPOSE_GRID=8,
+RELU=9, HARDSWISH=10, SE=11 (p: channels, reduced; woff -> packed
+[w1 (C,R), b1 (R), w2 (R,C), b2 (C)] squeeze-excite gate), SSD_HEAD=12
+(p: cin, prior_offset, n_pix; position-wise Dense(cin -> 5) from the
+current map into the SSD prior buffer, sigmoid on the score column —
+``SSD.py:240-245``), SSD_DECODE_NMS=13 (p: n_scales, ps...; prior decode
+``SSD.py:206-220`` + pixel scaling + the same exact NMS), PUSH_PROJ=14
+(skip = conv1x1(x), the SSD block's channel-matching skip projection —
+``SSD.py:30-36``; conv params like CONV with k=1).
 
-Covers the grid-detector zoo (PoolResnet / Resnet / SeparableCNN — every
-model the reference's official deployment checkpoints use). SSD and
-MobileNetV3 keep the StableHLO path (multi-scale heads / SE blocks are not
-worth a second native interpreter; documented in README's ledger).
+Covers the full model zoo: the grid detectors (PoolResnet / Resnet /
+SeparableCNN / MobileNetV3 — BatchNorm folded into the convs at export) and
+SSD (multi-scale heads + prior decode). BatchNorm folding: inference-mode
+``y = g*(conv(x)-mu)/sqrt(var+eps)+b`` becomes a conv with kernel scaled by
+``g/sqrt(var+eps)`` per output channel and bias ``b - mu*g/sqrt(var+eps)``.
 """
 
 from __future__ import annotations
@@ -43,7 +53,7 @@ from pathlib import Path
 import numpy as np
 
 MAGIC = int.from_bytes(b"FDN1", "little")
-VERSION = 1
+VERSION = 2  # v2 adds the MobileNetV3/SSD ops (9-14) and SAME padding
 NO_BIAS = (1 << 64) - 1
 
 OP_CONV = 1
@@ -54,8 +64,36 @@ OP_PUSH = 5
 OP_ADDSKIP = 6
 OP_DECODE_NMS = 7
 OP_TRANSPOSE_GRID = 8  # swap the (S, S) axes of the final (S, S, 5) map
+OP_RELU = 9
+OP_HARDSWISH = 10
+OP_SE = 11
+OP_SSD_HEAD = 12
+OP_SSD_DECODE_NMS = 13
+OP_PUSH_PROJ = 14
+
+SAME_PAD = -1  # TF-style SAME padding sentinel in the conv pad slot
 
 _LEAKY_SLOPE = 0.2  # reference LeakyReLU slope, models/Resnet.py:27
+
+
+def _fold_bn(conv_params: dict, bn_params: dict, bn_stats: dict,
+             eps: float) -> dict:
+    """Fold an inference-mode BatchNorm into the preceding conv's weights.
+
+    ``g*(conv(x) - mu)/sqrt(var+eps) + b`` == conv with kernel scaled
+    ``g/sqrt(var+eps)`` (per cout) and bias ``b - mu*g/sqrt(var+eps)``
+    (+ the scaled original bias when present).
+    """
+    g = np.asarray(bn_params["scale"], np.float32)
+    beta = np.asarray(bn_params["bias"], np.float32)
+    mu = np.asarray(bn_stats["mean"], np.float32)
+    var = np.asarray(bn_stats["var"], np.float32)
+    inv = g / np.sqrt(var + eps)
+    kernel = np.asarray(conv_params["kernel"], np.float32) * inv
+    bias = beta - mu * inv
+    if "bias" in conv_params:
+        bias = bias + np.asarray(conv_params["bias"], np.float32) * inv
+    return {"kernel": kernel, "bias": bias}
 
 
 class _Builder:
@@ -69,7 +107,7 @@ class _Builder:
         return off
 
     def conv(self, params: dict, k: int, stride: int, pad: int,
-             groups: int = 1):
+             groups: int = 1, code: int = OP_CONV):
         kernel = np.asarray(params["kernel"], np.float32)  # HWIO
         kh, kw, cin_g, cout = kernel.shape
         assert kh == k and kw == k, (kernel.shape, k)
@@ -79,11 +117,40 @@ class _Builder:
         else:
             boff = NO_BIAS
         cin = cin_g * groups
-        self.ops.append((OP_CONV, k, stride, pad, cin, cout, groups, 0.0,
+        self.ops.append((code, k, stride, pad, cin, cout, groups, 0.0,
                          woff, boff))
 
-    def simple(self, code: int, f0: float = 0.0):
-        self.ops.append((code, 0, 0, 0, 0, 0, 0, f0, NO_BIAS, NO_BIAS))
+    def se(self, params: dict, channels: int, reduced: int):
+        """Squeeze-excite gate (``fdtpu/models/mobilenetv3.py:45-58``):
+        blob is the packed [w1 (C,R), b1 (R), w2 (R,C), b2 (C)]."""
+        w1 = np.asarray(params["reduce"]["kernel"], np.float32)
+        w2 = np.asarray(params["expand"]["kernel"], np.float32)
+        assert w1.shape == (1, 1, channels, reduced), w1.shape
+        assert w2.shape == (1, 1, reduced, channels), w2.shape
+        packed = np.concatenate([
+            w1.reshape(-1),
+            np.asarray(params["reduce"]["bias"], np.float32).reshape(-1),
+            w2.reshape(-1),
+            np.asarray(params["expand"]["bias"], np.float32).reshape(-1),
+        ])
+        woff = self._put(packed)
+        self.ops.append((OP_SE, channels, reduced, 0, 0, 0, 0, 0.0,
+                         woff, NO_BIAS))
+
+    def ssd_head(self, params: dict, cin: int, prior_offset: int,
+                 n_pix: int):
+        """Position-wise Dense(cin -> 5) head into the prior buffer
+        (``SSD.py:240-245``); kernel (cin, 5) row-major, bias (5,)."""
+        kernel = np.asarray(params["kernel"], np.float32)
+        assert kernel.shape == (cin, 5), kernel.shape
+        woff = self._put(kernel)
+        boff = self._put(np.asarray(params["bias"], np.float32))
+        self.ops.append((OP_SSD_HEAD, cin, prior_offset, n_pix, 0, 0, 0,
+                         0.0, woff, boff))
+
+    def simple(self, code: int, f0: float = 0.0, p: tuple = ()):
+        p = tuple(p) + (0,) * (6 - len(p))
+        self.ops.append((code, *p, f0, NO_BIAS, NO_BIAS))
 
     def serialize(self, in_h: int, in_w: int, grid_s: int, capacity: int,
                   prob_thr: float, iou_thr: float) -> bytes:
@@ -97,25 +164,13 @@ class _Builder:
         return head + recs + bytes(self.blob)
 
 
-def _grid_model_program(module, params) -> tuple[_Builder, int]:
+def _grid_model_program(module, params, transpose_grid: bool) -> tuple[_Builder, int]:
     """Emit the inference op sequence for a grid detector, mirroring its
     ``__call__`` with dropout elided (inference) and the shape-conditional
     pooling resolved exactly like ``module.grid_size()``."""
     from fdtpu.models.poolresnet import PoolResnet
     from fdtpu.models.resnet import Resnet
     from fdtpu.models.separable import SeparableCNN
-
-    # Reference-checkpoint imports arrive wrapped in ReferenceLayoutGrid
-    # (fdtpu/compat/torch_import.py): the inner model emits the reference's
-    # spatially-transposed grid, fixed by a swap before decode. Unwrap and
-    # emit an OP_TRANSPOSE_GRID in its place.
-    transpose_grid = False
-    if type(module).__name__ == "ReferenceLayoutGrid" and hasattr(module, "inner"):
-        module = module.inner
-        params = params["inner"]
-        if "params" in params:
-            params = params["params"]
-        transpose_grid = True
 
     b = _Builder()
     h = module.input_shape[0]
@@ -139,9 +194,7 @@ def _grid_model_program(module, params) -> tuple[_Builder, int]:
         out_k, out_pad = module.output_kernel_size, module.output_padding
     else:
         raise ValueError(
-            f"native export supports the grid zoo (PoolResnet/Resnet/"
-            f"SeparableCNN); got {type(module).__name__} — use the StableHLO "
-            f"path (fdtpu.export.export_predict) for SSD/MobileNetV3"
+            f"unsupported module for the grid program: {type(module).__name__}"
         )
 
     for i in range(module.num_residual_blocks):
@@ -182,6 +235,100 @@ def _grid_model_program(module, params) -> tuple[_Builder, int]:
     return b, grid
 
 
+def _mobilenetv3_program(module, params, stats,
+                         transpose_grid: bool) -> tuple[_Builder, int]:
+    """MobileNetV3-Small inference ops (``fdtpu/models/mobilenetv3.py``,
+    reference ``MobilenetV3Backbone.py:11-60``): BatchNorm folded into each
+    conv, SE gates as OP_SE, hard-swish/relu activations, residual adds on
+    stride-1 channel-matched blocks."""
+    from fdtpu.models.mobilenetv3 import MOBILENETV3_SMALL, make_divisible
+
+    eps = module.bn_eps
+    b = _Builder()
+
+    def fconv(conv_p, bn_name, blk_p=None, blk_s=None, **kw):
+        p = blk_p if blk_p is not None else params
+        s = blk_s if blk_s is not None else stats
+        b.conv(_fold_bn(conv_p, p[bn_name], s[bn_name], eps), **kw)
+
+    fconv(params["conv_stem"], "bn1", k=3, stride=2, pad=SAME_PAD)
+    b.simple(OP_HARDSWISH)
+    in_ch = 16
+    for bi, (k, exp, out, se, act, s) in enumerate(MOBILENETV3_SMALL):
+        blk, bst = params[f"block{bi}"], stats[f"block{bi}"]
+        act_op = OP_RELU if act == "relu" else OP_HARDSWISH
+        residual = s == 1 and in_ch == out
+        if residual:
+            b.simple(OP_PUSH)
+        if exp != in_ch:
+            fconv(blk["conv_pw"], "bn1", blk, bst, k=1, stride=1, pad=0)
+            b.simple(act_op)
+        fconv(blk["conv_dw"], "bn2", blk, bst, k=k, stride=s, pad=SAME_PAD,
+              groups=exp)
+        b.simple(act_op)
+        if se:
+            b.se(blk["se"], exp, make_divisible(exp * 0.25))
+        fconv(blk["conv_pwl"], "bn3", blk, bst, k=1, stride=1, pad=0)
+        if residual:
+            b.simple(OP_ADDSKIP)
+        in_ch = out
+    fconv(params["conv_576"], "bn_576", k=1, stride=1, pad=0)
+    b.simple(OP_HARDSWISH)
+    # detection head (MobilenetV3Backbone.py:40-46): explicit padding=1
+    b.conv(params["head"], k=module.output_kernel_size, stride=1, pad=1)
+    b.simple(OP_SIGMOID)
+    if transpose_grid:
+        b.simple(OP_TRANSPOSE_GRID)
+    b.simple(OP_DECODE_NMS)
+    return b, module.grid_size()
+
+
+def _ssd_program(module, params) -> _Builder:
+    """SSD inference ops (``fdtpu/models/ssd.py``, reference
+    ``SSD.py:84-255``): stem + 9 extractor blocks + 4 scale blocks, each
+    scale's position-wise Dense head written into the prior buffer, prior
+    decode + NMS at the end. Dropout elided (inference)."""
+    b = _Builder()
+    f = module.filters
+    max_f = 16 * f
+
+    def block(idx: int, in_f: int, out_f: int, pool: bool):
+        blk = params[f"SSDResidualBlock_{idx}"]
+        if in_f == out_f:
+            b.simple(OP_PUSH)
+            c0, c1 = blk["Conv_0"], blk["Conv_1"]
+        else:  # Conv_0 is the 1x1 skip projection (created first, SSD.py:30)
+            b.conv(blk["Conv_0"], k=1, stride=1, pad=0, code=OP_PUSH_PROJ)
+            c0, c1 = blk["Conv_1"], blk["Conv_2"]
+        b.conv(c0, k=3, stride=1, pad=1)
+        b.simple(OP_LEAKY, _LEAKY_SLOPE)
+        b.conv(c1, k=3, stride=1, pad=1)
+        b.simple(OP_LEAKY, _LEAKY_SLOPE)
+        b.simple(OP_ADDSKIP)
+        if pool:
+            b.simple(OP_MAXPOOL2)
+
+    # input_normalizer stem (SSD.py:127-134)
+    b.conv(params["Conv_0"], k=3, stride=2, pad=1)
+    # feature_extractor (SSD.py:135-163)
+    block(0, f, 2 * f, pool=True)
+    block(1, 2 * f, 2 * f, pool=True)
+    for i in range(6):
+        block(2 + i, 2 * f, 2 * f, pool=False)
+    block(8, 2 * f, 4 * f, pool=False)
+    # per-scale continue blocks + extracting heads (SSD.py:164-189)
+    prior_off = 0
+    for i, ps in enumerate(module.patch_sizes):
+        in_f = min(4 * f * 2**i, max_f)
+        out_f = min(2 * in_f, max_f)
+        block(9 + i, in_f, out_f, pool=(i != 0))
+        b.ssd_head(params[f"Dense_{i}"], out_f, prior_off, ps * ps)
+        prior_off += ps * ps
+    b.simple(OP_SSD_DECODE_NMS,
+             p=(len(module.patch_sizes), *module.patch_sizes))
+    return b
+
+
 def export_native(
     module,
     variables,
@@ -196,10 +343,41 @@ def export_native(
     Thresholds default to the reference converter's
     (``convert_checkpoint_to_scripted_model.py:43-48``). Weights are stored
     f32 (full precision — the engine computes f32 regardless of the
-    training-time compute dtype).
+    training-time compute dtype; BatchNorm is folded at export, so the
+    artifact is inference-only).
     """
+    from fdtpu.models.mobilenetv3 import MobileNetV3Backbone
+    from fdtpu.models.ssd import SSD
+
     params = variables["params"] if "params" in variables else variables
-    b, grid = _grid_model_program(module, params)
+    stats = variables.get("batch_stats") if isinstance(variables, dict) else None
+
+    # Reference-checkpoint imports arrive wrapped in ReferenceLayoutGrid
+    # (fdtpu/compat/torch_import.py): the inner model emits the reference's
+    # spatially-transposed grid, fixed by a swap before decode. Unwrap and
+    # emit an OP_TRANSPOSE_GRID in its place.
+    transpose_grid = False
+    if type(module).__name__ == "ReferenceLayoutGrid" and hasattr(module, "inner"):
+        module = module.inner
+        params = params["inner"]
+        if "params" in params:
+            params = params["params"]
+        if stats is not None and "inner" in stats:
+            stats = stats["inner"]
+        transpose_grid = True
+
+    if isinstance(module, SSD):
+        b = _ssd_program(module, params)
+        grid = 0  # grid_s == 0 marks an SSD artifact
+    elif isinstance(module, MobileNetV3Backbone):
+        if stats is None:
+            raise ValueError(
+                "MobileNetV3 export needs variables['batch_stats'] to fold "
+                "BatchNorm"
+            )
+        b, grid = _mobilenetv3_program(module, params, stats, transpose_grid)
+    else:
+        b, grid = _grid_model_program(module, params, transpose_grid)
     h, w = module.input_shape
     data = b.serialize(h, w, grid, capacity,
                        probability_threshold, iou_threshold)

@@ -3,8 +3,9 @@
 The JAX-runtime-free deployment path: ``fdtpu.export.export_native`` writes
 a ``.fdn`` artifact (flat op program + f32 weights), and this engine —
 dependency-free C++ (``infer_engine.cpp``) — executes the full predict
-program (normalize -> conv stack -> sigmoid -> grid decode -> NMS) on any
-host with a C++ toolchain. The capability analogue of the reference's
+program (normalize -> conv stack -> sigmoid -> grid or SSD-prior decode ->
+NMS; BatchNorm models are folded at export) for the entire model zoo on
+any host with a C++ toolchain. The capability analogue of the reference's
 TorchScript lite-interpreter / onnxruntime serving
 (``/root/reference/demo_scripts/convert_checkpoint_to_scripted_model.py:51-54``,
 ``demo_model_onnx.py:26-31``); the StableHLO path (``fdtpu/export``) remains

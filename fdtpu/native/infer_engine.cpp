@@ -1,5 +1,7 @@
-// fdtpu native inference engine: executes .fdn artifacts (grid detectors)
-// with zero Python/JAX at serving time — the TPU-framework analogue of the
+// fdtpu native inference engine: executes .fdn artifacts (the full model
+// zoo — grid detectors incl. MobileNetV3 with BatchNorm folded at export,
+// and SSD with multi-scale heads + prior decode) with zero Python/JAX at
+// serving time — the TPU-framework analogue of the
 // reference's lite-interpreter / onnxruntime deployment path
 // (/root/reference/demo_scripts/convert_checkpoint_to_scripted_model.py:51-54,
 //  demo_model_onnx.py:26-31).
@@ -40,7 +42,29 @@ enum OpCode : uint32_t {
   OP_ADDSKIP = 6,
   OP_DECODE_NMS = 7,
   OP_TRANSPOSE_GRID = 8,  // swap the (S, S) axes of the (S, S, C) map
+  OP_RELU = 9,
+  OP_HARDSWISH = 10,      // x * relu6(x + 3) / 6
+  OP_SE = 11,             // squeeze-excite gate (p: channels, reduced)
+  OP_SSD_HEAD = 12,       // Dense(cin->5) into the prior buffer
+  OP_SSD_DECODE_NMS = 13, // prior decode + pixel scale + greedy NMS
+  OP_PUSH_PROJ = 14,      // skip = conv1x1(x) (SSD channel projection)
 };
+
+// A conv pad slot of -1 means TF-style SAME (asymmetric, more at the end),
+// the tf_mobilenetv3 semantics (fdtpu/models/mobilenetv3.py).
+void conv_geometry(int k, int st, int pad, int in_h, int in_w, int* ph,
+                   int* pw, int* oh, int* ow) {
+  if (pad >= 0) {
+    *ph = *pw = pad;
+    *oh = (in_h + 2 * pad - k) / st + 1;
+    *ow = (in_w + 2 * pad - k) / st + 1;
+  } else {
+    *oh = (in_h + st - 1) / st;
+    *ow = (in_w + st - 1) / st;
+    *ph = std::max((*oh - 1) * st + k - in_h, 0) / 2;
+    *pw = std::max((*ow - 1) * st + k - in_w, 0) / 2;
+  }
+}
 
 struct Op {
   uint32_t code;
@@ -54,7 +78,8 @@ struct Model {
   float prob_thr, iou_thr;
   std::vector<Op> ops;
   std::vector<float> blob;
-  size_t act_elems = 0, col_elems = 0;  // scratch sizing (exact walk)
+  // scratch sizing (exact walk)
+  size_t act_elems = 0, col_elems = 0, ssd_elems = 0;
 };
 
 struct Tensor {
@@ -62,14 +87,16 @@ struct Tensor {
   float* d = nullptr;  // borrowed from scratch
 };
 
-// Per-thread scratch: two activation buffers + skip + im2col matrix.
+// Per-thread scratch: two activation buffers + skip + im2col matrix +
+// the SSD prior buffer (sum ps^2 x 5 encoded rows).
 struct Scratch {
-  std::vector<float> a, b, skip, col;
+  std::vector<float> a, b, skip, col, ssd;
   explicit Scratch(const Model& m) {
     a.resize(m.act_elems);
     b.resize(m.act_elems);
     skip.resize(m.act_elems);
     col.resize(m.col_elems);
+    ssd.resize(m.ssd_elems);
   }
 };
 
@@ -81,7 +108,7 @@ bool read_model(const char* path, Model* m) {
   uint64_t blob_bytes;
   if (fread(head_u, 4, 7, f) != 7 || fread(head_f, 4, 2, f) != 2 ||
       fread(&blob_bytes, 8, 1, f) != 1 || head_u[0] != kMagic ||
-      head_u[1] != 1) {
+      head_u[1] < 1 || head_u[1] > 2) {
     fclose(f);
     return false;
   }
@@ -112,12 +139,13 @@ bool read_model(const char* path, Model* m) {
   int h = m->in_h, w = m->in_w, c = 3;
   m->act_elems = (size_t)h * w * c;
   m->col_elems = 1;
+  m->ssd_elems = 0;
   for (const auto& op : m->ops) {
     if (op.code == OP_CONV) {
       int k = op.p[0], s = op.p[1], p = op.p[2], cout = op.p[4],
           groups = op.p[5];
-      int oh = (h + 2 * p - k) / s + 1;
-      int ow = (w + 2 * p - k) / s + 1;
+      int ph, pw, oh, ow;
+      conv_geometry(k, s, p, h, w, &ph, &pw, &oh, &ow);
       if (groups == 1)
         m->col_elems =
             std::max(m->col_elems, (size_t)oh * ow * k * k * c);
@@ -128,7 +156,12 @@ bool read_model(const char* path, Model* m) {
     } else if (op.code == OP_MAXPOOL2) {
       h /= 2;
       w /= 2;
+    } else if (op.code == OP_SSD_HEAD) {
+      m->ssd_elems = std::max(
+          m->ssd_elems, ((size_t)op.p[1] + op.p[2]) * 5);
     }
+    // OP_PUSH_PROJ writes h*w*cout into the skip buffer; its cout equals
+    // the block's conv cout, already covered by act_elems.
   }
   return true;
 }
@@ -250,10 +283,9 @@ void gemm_colmajor_rhs(const float* col, const float* wm, const float* bias,
 
 void conv(const Model& m, const Op& op, const Tensor& in, Tensor* out,
           Scratch* s) {
-  int k = op.p[0], st = op.p[1], p = op.p[2], cout = op.p[4],
-      groups = op.p[5];
-  int oh = (in.h + 2 * p - k) / st + 1;
-  int ow = (in.w + 2 * p - k) / st + 1;
+  int k = op.p[0], st = op.p[1], cout = op.p[4], groups = op.p[5];
+  int ph, pw, oh, ow;
+  conv_geometry(k, st, op.p[2], in.h, in.w, &ph, &pw, &oh, &ow);
   out->h = oh;
   out->w = ow;
   out->c = cout;
@@ -270,10 +302,10 @@ void conv(const Model& m, const Op& op, const Tensor& in, Tensor* out,
         else
           std::memset(o, 0, cout * sizeof(float));
         for (int dy = 0; dy < k; ++dy) {
-          int iy = oy * st - p + dy;
+          int iy = oy * st - ph + dy;
           if (iy < 0 || iy >= in.h) continue;
           for (int dx = 0; dx < k; ++dx) {
-            int ix = ox * st - p + dx;
+            int ix = ox * st - pw + dx;
             if (ix < 0 || ix >= in.w) continue;
             const float* __restrict iv =
                 in.d + ((size_t)iy * in.w + ix) * cout;
@@ -292,7 +324,7 @@ void conv(const Model& m, const Op& op, const Tensor& in, Tensor* out,
     for (int ox = 0; ox < ow; ++ox) {
       float* dst = col + ((size_t)oy * ow + ox) * K;
       for (int dy = 0; dy < k; ++dy) {
-        int iy = oy * st - p + dy;
+        int iy = oy * st - ph + dy;
         if (iy < 0 || iy >= in.h) {
           std::memset(dst, 0, (size_t)k * in.c * sizeof(float));
           dst += (size_t)k * in.c;
@@ -300,7 +332,7 @@ void conv(const Model& m, const Op& op, const Tensor& in, Tensor* out,
         }
         int dx = 0;
         for (; dx < k; ++dx) {
-          int ix = ox * st - p + dx;
+          int ix = ox * st - pw + dx;
           if (ix < 0 || ix >= in.w) {
             std::memset(dst, 0, in.c * sizeof(float));
           } else {
@@ -315,33 +347,14 @@ void conv(const Model& m, const Op& op, const Tensor& in, Tensor* out,
   gemm_colmajor_rhs(col, wm, bias, out->d, oh * ow, K, cout);
 }
 
-void decode_nms(const Model& m, const Tensor& fm, float* boxes,
-                unsigned char* mask) {
-  int S = m.grid_s, cap = m.capacity;
-  float W = (float)m.in_w, H = (float)m.in_h;
-  float xp = W / S, yp = H / S;
-  int n = S * S;
-  std::vector<float> score(n), x0(n), y0(n), x1(n), y1(n);
-  std::vector<int> cand;
-  cand.reserve(n);
-  for (int j = 0; j < S; ++j) {
-    for (int i = 0; i < S; ++i) {
-      const float* v = fm.d + ((size_t)j * S + i) * 5;
-      int idx = j * S + i;
-      score[idx] = v[0];
-      if (v[0] > m.prob_thr) {  // strict >, utils.py:111
-        float x = v[1] * xp + i * xp;
-        float y = v[2] * yp + j * yp;
-        float w = v[3] * W, h = v[4] * H;
-        // round like jnp.round/torch.round: half-to-even
-        x0[idx] = nearbyintf(x);
-        y0[idx] = nearbyintf(y);
-        x1[idx] = nearbyintf(x + w);
-        y1[idx] = nearbyintf(y + h);
-        cand.push_back(idx);
-      }
-    }
-  }
+// Greedy suppression over thresholded, rounded xyxy candidates — the exact
+// torchvision semantics (descending score, stable tie-break by original
+// index, suppress IoU strictly > threshold), boxes emitted compacted in
+// pick order as [score, x, y, w, h].
+void greedy_nms(const std::vector<float>& score, const std::vector<float>& x0,
+                const std::vector<float>& y0, const std::vector<float>& x1,
+                const std::vector<float>& y1, std::vector<int>& cand,
+                int cap, float iou_thr, float* boxes, unsigned char* mask) {
   // descending score, stable (lowest original index wins ties)
   std::stable_sort(cand.begin(), cand.end(),
                    [&](int a, int b) { return score[a] > score[b]; });
@@ -373,9 +386,80 @@ void decode_nms(const Model& m, const Tensor& fm, float* boxes,
       float bh = std::max(y1[b] - y0[b], 0.0f);
       float uni = area_a + bw * bh - inter;
       float iou = uni > 0 ? inter / uni : 0.0f;
-      if (iou > m.iou_thr) dead[j] = 1;
+      if (iou > iou_thr) dead[j] = 1;
     }
   }
+}
+
+void decode_nms(const Model& m, const Tensor& fm, float* boxes,
+                unsigned char* mask) {
+  int S = m.grid_s;
+  float W = (float)m.in_w, H = (float)m.in_h;
+  float xp = W / S, yp = H / S;
+  int n = S * S;
+  std::vector<float> score(n), x0(n), y0(n), x1(n), y1(n);
+  std::vector<int> cand;
+  cand.reserve(n);
+  for (int j = 0; j < S; ++j) {
+    for (int i = 0; i < S; ++i) {
+      const float* v = fm.d + ((size_t)j * S + i) * 5;
+      int idx = j * S + i;
+      score[idx] = v[0];
+      if (v[0] > m.prob_thr) {  // strict >, utils.py:111
+        float x = v[1] * xp + i * xp;
+        float y = v[2] * yp + j * yp;
+        float w = v[3] * W, h = v[4] * H;
+        // round like jnp.round/torch.round: half-to-even
+        x0[idx] = nearbyintf(x);
+        y0[idx] = nearbyintf(y);
+        x1[idx] = nearbyintf(x + w);
+        y1[idx] = nearbyintf(y + h);
+        cand.push_back(idx);
+      }
+    }
+  }
+  greedy_nms(score, x0, y0, x1, y1, cand, m.capacity, m.iou_thr, boxes,
+             mask);
+}
+
+// SSD prior decode (fdtpu/core/priors.py apply_priors, SSD.py:206-220) +
+// pixel scaling (utils.py:57-67) + the same exact NMS. The prior buffer
+// holds [sigmoid(conf), x_enc, y_enc, w_norm, h_norm] rows; each scale's
+// block is flattened row-major over (y_cell, x_cell), the fdtpu prior
+// order (fdtpu/core/priors.py module docstring).
+void decode_nms_ssd(const Model& m, const Op& op, const float* ssd,
+                    float* boxes, unsigned char* mask) {
+  int n_scales = op.p[0];
+  float W = (float)m.in_w, H = (float)m.in_h;
+  int total = 0;
+  for (int si = 0; si < n_scales; ++si) total += op.p[1 + si] * op.p[1 + si];
+  std::vector<float> score(total), x0(total), y0(total), x1(total),
+      y1(total);
+  std::vector<int> cand;
+  cand.reserve(256);
+  int off = 0;
+  for (int si = 0; si < n_scales; ++si) {
+    int ps = op.p[1 + si];
+    float inv = 1.0f / ps;
+    for (int idx = 0; idx < ps * ps; ++idx) {
+      const float* v = ssd + ((size_t)off + idx) * 5;
+      score[off + idx] = v[0];
+      if (v[0] > m.prob_thr) {
+        int yc = idx / ps, xc = idx % ps;
+        float x = (v[1] * inv + xc * inv) * W;
+        float y = (v[2] * inv + yc * inv) * H;
+        float w = v[3] * W, h = v[4] * H;
+        x0[off + idx] = nearbyintf(x);
+        y0[off + idx] = nearbyintf(y);
+        x1[off + idx] = nearbyintf(x + w);
+        y1[off + idx] = nearbyintf(y + h);
+        cand.push_back(off + idx);
+      }
+    }
+    off += ps * ps;
+  }
+  greedy_nms(score, x0, y0, x1, y1, cand, m.capacity, m.iou_thr, boxes,
+             mask);
 }
 
 void run_image(const Model& m, const float* img, float* boxes,
@@ -453,6 +537,90 @@ void run_image(const Model& m, const float* img, float* boxes,
       case OP_DECODE_NMS:
         decode_nms(m, cur, boxes, mask);
         break;
+      case OP_RELU: {
+        size_t nn = (size_t)cur.h * cur.w * cur.c;
+        for (size_t i = 0; i < nn; ++i) cur.d[i] = std::max(cur.d[i], 0.0f);
+        break;
+      }
+      case OP_HARDSWISH: {
+        size_t nn = (size_t)cur.h * cur.w * cur.c;
+        for (size_t i = 0; i < nn; ++i) {
+          float v = cur.d[i];
+          cur.d[i] =
+              v * std::min(std::max(v + 3.0f, 0.0f), 6.0f) * (1.0f / 6.0f);
+        }
+        break;
+      }
+      case OP_SE: {
+        // global-avg -> 1x1 reduce (ReLU) -> 1x1 expand (hard-sigmoid)
+        // -> per-channel scale (fdtpu/models/mobilenetv3.py:45-58)
+        int C = op.p[0], R = op.p[1];
+        const float* w1 = m.blob.data() + op.woff / 4;  // (C, R)
+        const float* b1 = w1 + (size_t)C * R;
+        const float* w2 = b1 + R;  // (R, C)
+        const float* b2 = w2 + (size_t)R * C;
+        std::vector<float> sv(C, 0.0f), tv(R);
+        size_t npix = (size_t)cur.h * cur.w;
+        for (size_t i = 0; i < npix; ++i) {
+          const float* px = cur.d + i * C;
+          for (int c = 0; c < C; ++c) sv[c] += px[c];
+        }
+        float scale = 1.0f / (float)npix;
+        for (int c = 0; c < C; ++c) sv[c] *= scale;
+        for (int r = 0; r < R; ++r) tv[r] = b1[r];
+        for (int c = 0; c < C; ++c) {
+          float v = sv[c];
+          const float* wr = w1 + (size_t)c * R;
+          for (int r = 0; r < R; ++r) tv[r] += v * wr[r];
+        }
+        for (int r = 0; r < R; ++r) tv[r] = std::max(tv[r], 0.0f);
+        std::vector<float> gv(C);
+        for (int c = 0; c < C; ++c) gv[c] = b2[c];
+        for (int r = 0; r < R; ++r) {
+          float v = tv[r];
+          const float* wr = w2 + (size_t)r * C;
+          for (int c = 0; c < C; ++c) gv[c] += v * wr[c];
+        }
+        for (int c = 0; c < C; ++c)
+          gv[c] = std::min(std::max(gv[c] + 3.0f, 0.0f), 6.0f) * (1.0f / 6.0f);
+        for (size_t i = 0; i < npix; ++i) {
+          float* px = cur.d + i * C;
+          for (int c = 0; c < C; ++c) px[c] *= gv[c];
+        }
+        break;
+      }
+      case OP_SSD_HEAD: {
+        // Dense(cin -> 5) over the row-major (h*w, cin) map into the prior
+        // buffer at prior_offset, sigmoid on the score column (SSD.py:240-245)
+        int cin = op.p[0], prior_off = op.p[1], npix = op.p[2];
+        const float* wm = m.blob.data() + op.woff / 4;
+        const float* bias = m.blob.data() + op.boff / 4;
+        float* dst = s->ssd.data() + (size_t)prior_off * 5;
+        gemm_colmajor_rhs(cur.d, wm, bias, dst, npix, cin, 5);
+        for (int i = 0; i < npix; ++i) {
+          float* row = dst + (size_t)i * 5;
+          row[0] = 1.0f / (1.0f + std::exp(-row[0]));
+        }
+        break;
+      }
+      case OP_SSD_DECODE_NMS:
+        decode_nms_ssd(m, op, s->ssd.data(), boxes, mask);
+        break;
+      case OP_PUSH_PROJ: {
+        // skip = conv1x1(cur): the SSD block's channel-matching skip
+        // projection (SSD.py:30-36); cur is untouched.
+        int cin = op.p[3], cout = op.p[4];
+        (void)cin;
+        const float* wm = m.blob.data() + op.woff / 4;
+        const float* bias =
+            op.boff == kNoBias ? nullptr : m.blob.data() + op.boff / 4;
+        gemm_colmajor_rhs(cur.d, wm, bias, skip.d, cur.h * cur.w, cur.c,
+                          cout);
+        skip.h = cur.h;
+        skip.w = cur.w;
+        skip.c = cout;
+        break;
+      }
     }
   }
 }

@@ -140,14 +140,97 @@ def test_native_reference_layout_wrap(tmp_path):
     assert found > 0
 
 
-def test_native_rejects_ssd(tmp_path):
+def test_native_ssd_matches_jax(tmp_path):
+    """SSD .fdn artifacts (multi-scale heads + prior decode, v2 format)
+    reproduce the JAX oracle (``ssd_output_filter_nms``) box for box."""
+    from fdtpu.core.nms import ssd_output_filter_nms
     from fdtpu.models.ssd import SSD
 
-    m = SSD(filters=4, input_shape=(64, 64), patch_sizes=(8, 4),
+    m = SSD(filters=4, input_shape=(64, 64), patch_sizes=(8, 4, 2, 1),
             dtype=jnp.float32)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
-    with pytest.raises(ValueError, match="StableHLO"):
-        export_native(m, v, tmp_path / "ssd.fdn")
+    # spread the score column so NMS pick order is not decided by f32
+    # summation-order noise (see _boosted_init)
+    for i in range(4):
+        d = v["params"][f"Dense_{i}"]
+        d["kernel"] = d["kernel"].at[:, 0].multiply(4.0)
+    p = export_native(m, v, tmp_path / "ssd.fdn", probability_threshold=PROB,
+                      iou_threshold=IOU, capacity=CAP)
+    imgs = _images(size=64)
+    det = NativeDetector(p)
+    nb, nm = det.predict(imgs)
+    out = m.apply(v, jnp.asarray(imgs) / 255.0, train=False)
+    jb, jm = jax.vmap(
+        lambda o: ssd_output_filter_nms(o, (64, 64), PROB, IOU, CAP)
+    )(out)
+    found = 0
+    for i in range(imgs.shape[0]):
+        cn = nb[i][nm[i]]
+        cj = compact_boxes(np.asarray(jb[i]), np.asarray(jm[i]))
+        assert len(cn) == len(cj), (i, cn, cj)
+        if len(cn):
+            np.testing.assert_allclose(cn, cj, atol=2e-3, rtol=1e-4)
+        found += len(cn)
+    assert found > 0
+
+
+def test_native_mobilenetv3_matches_jax(tmp_path):
+    """MobileNetV3 .fdn artifacts (SAME padding, SE gates, hard-swish,
+    BatchNorm folded at export) reproduce the JAX oracle. BN stats and
+    affines are randomized so the fold is actually exercised (fresh-init
+    mean=0/var=1/scale=1/bias=0 would make folding the identity)."""
+    import jax.tree_util as jtu
+
+    from fdtpu.models import MobileNetV3Backbone
+
+    m = MobileNetV3Backbone(input_shape=(96, 96), num_patches=3,
+                            dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(2), jnp.zeros((1, 96, 96, 3)), train=False)
+    keys = iter(jax.random.split(jax.random.PRNGKey(7), 400))
+
+    def randomize_stats(x):
+        return jax.random.uniform(next(keys), x.shape, jnp.float32, 0.5, 1.5)
+
+    v = dict(v)
+    v["batch_stats"] = jtu.tree_map(randomize_stats, v["batch_stats"])
+    # randomize BN affines too (params['bn*'] = {scale, bias})
+    def randomize_bn(path, x):
+        name = jtu.keystr(path)
+        if "bn" in name and ("scale" in name or "bias" in name):
+            return jax.random.uniform(next(keys), x.shape, jnp.float32, 0.8, 1.2)
+        return x
+
+    v["params"] = jtu.tree_map_with_path(randomize_bn, v["params"])
+    b = v["params"]["head"]["bias"]
+    v["params"]["head"]["bias"] = (
+        b.at[0].add(0.5).at[3].add(0.3).at[4].add(0.3)
+    )
+    # An untrained MNv3's deep averaging makes all cells near-identical
+    # (score gaps ~1e-5), so NMS pick order is f32-noise — use an IoU
+    # threshold that suppresses nothing (grid NMS itself is covered by the
+    # other parity tests; what's new here is the conv stack) and compare
+    # the full per-cell box set sorted by position.
+    p = export_native(m, v, tmp_path / "mnv3.fdn", probability_threshold=PROB,
+                      iou_threshold=0.999, capacity=CAP)
+    imgs = _images(size=96, seed=5)
+    det = NativeDetector(p)
+    nb, nm = det.predict(imgs)
+    out = m.apply(v, jnp.asarray(imgs) / 255.0, train=False)
+    wh = (96, 96)
+    jb, jm = jax.vmap(
+        lambda o: decode_filter_nms(o, m.grid_size(), wh, PROB, 0.999, CAP)
+    )(out)
+    total = 0
+    for i in range(imgs.shape[0]):
+        cn = nb[i][nm[i]]
+        cj = compact_boxes(np.asarray(jb[i]), np.asarray(jm[i]))
+        assert len(cn) == len(cj), (i, len(cn), len(cj))
+        order = lambda a: a[np.lexsort((a[:, 1], a[:, 2]))]
+        if len(cn):
+            np.testing.assert_allclose(order(cn), order(cj), atol=2e-3,
+                                       rtol=1e-4)
+        total += len(cn)
+    assert total > 0
 
 
 def test_native_cli_serves_jpeg(tmp_path):
