@@ -31,6 +31,10 @@ def main():
     p.add_argument("--prob-threshold", type=float, default=0.7)
     p.add_argument("--iou-threshold", type=float, default=0.01)
     p.add_argument("--capacity", type=int, default=64)
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8: per-channel 7-bit weights, ~4x smaller "
+                        "artifact, dynamically-quantized activations at "
+                        "serving (onnxruntime dynamic-quantization analogue)")
     args = p.parse_args()
 
     import jax
@@ -68,6 +72,7 @@ def main():
         probability_threshold=args.prob_threshold,
         iou_threshold=args.iou_threshold,
         capacity=args.capacity,
+        weight_quant=None if args.quantize == "none" else args.quantize,
     )
     print(f"exported {path} ({path.stat().st_size / 1e6:.2f} MB)")
 

@@ -36,7 +36,10 @@ current map into the SSD prior buffer, sigmoid on the score column —
 ``SSD.py:240-245``), SSD_DECODE_NMS=13 (p: n_scales, ps...; prior decode
 ``SSD.py:206-220`` + pixel scaling + the same exact NMS), PUSH_PROJ=14
 (skip = conv1x1(x), the SSD block's channel-matching skip projection —
-``SSD.py:30-36``; conv params like CONV with k=1).
+``SSD.py:30-36``; conv params like CONV with k=1), CONV_Q8=15 (CONV with
+int8 weights: woff -> [scales f32 (cout), wsum f32 (cout), int8 weights
+packed (ceil(K/4), cout, 4) — 4 consecutive K-values per channel dword];
+activations quantized dynamically to 7-bit u8 per conv at run time).
 
 Covers the full model zoo: the grid detectors (PoolResnet / Resnet /
 SeparableCNN / MobileNetV3 — BatchNorm folded into the convs at export) and
@@ -70,6 +73,7 @@ OP_SE = 11
 OP_SSD_HEAD = 12
 OP_SSD_DECODE_NMS = 13
 OP_PUSH_PROJ = 14
+OP_CONV_Q8 = 15  # int8-weight conv (dynamic u8 activation quantization)
 
 SAME_PAD = -1  # TF-style SAME padding sentinel in the conv pad slot
 
@@ -97,13 +101,20 @@ def _fold_bn(conv_params: dict, bn_params: dict, bn_stats: dict,
 
 
 class _Builder:
-    def __init__(self):
+    def __init__(self, weight_quant: str | None = None):
         self.ops: list[tuple] = []
         self.blob = bytearray()
+        self.weight_quant = weight_quant
 
     def _put(self, arr: np.ndarray) -> int:
         off = len(self.blob)
         self.blob += np.ascontiguousarray(arr, dtype=np.float32).tobytes()
+        return off
+
+    def _put_bytes(self, raw: bytes) -> int:
+        off = len(self.blob)
+        assert len(raw) % 4 == 0
+        self.blob += raw
         return off
 
     def conv(self, params: dict, k: int, stride: int, pad: int,
@@ -111,12 +122,41 @@ class _Builder:
         kernel = np.asarray(params["kernel"], np.float32)  # HWIO
         kh, kw, cin_g, cout = kernel.shape
         assert kh == k and kw == k, (kernel.shape, k)
+        cin = cin_g * groups
+        K = k * k * cin_g
+        # int8 weight quantization: dense convs only, skipping the tiny
+        # stem (K < 64) and the precision-critical 5-channel head
+        # (cout < 8). Per-cout symmetric scales; weights packed in groups
+        # of 4 K-values per channel, the engine kernel's dword layout.
+        if (self.weight_quant == "int8" and code == OP_CONV and groups == 1
+                and cout >= 8 and K >= 64):
+            wm = kernel.reshape(K, cout)
+            # 7-bit weights x 8-bit activations: the bit budget goes to the
+            # activations (they carry the outliers in these BN-free nets;
+            # weights are max-normalized and well-behaved) while keeping
+            # vpmaddubsw's i16 pair-sum below saturation (255*63*2 < 2^15).
+            scales = np.max(np.abs(wm), axis=0) / 63.0
+            scales = np.where(scales == 0, 1.0, scales).astype(np.float32)
+            wq = np.clip(np.rint(wm / scales), -63, 63).astype(np.int8)
+            wsum = wq.astype(np.int32).sum(axis=0).astype(np.float32)
+            K4 = (K + 3) // 4 * 4
+            packed = np.zeros((K4 // 4, cout, 4), np.int8)
+            for g in range(K4 // 4):
+                chunk = wq[4 * g:4 * g + 4]  # (<=4, cout)
+                packed[g, :, :chunk.shape[0]] = chunk.T
+            woff = self._put(scales)
+            self._put(wsum)
+            self._put_bytes(packed.tobytes())
+            boff = (self._put(np.asarray(params["bias"], np.float32))
+                    if "bias" in params else NO_BIAS)
+            self.ops.append((OP_CONV_Q8, k, stride, pad, cin, cout, groups,
+                             0.0, woff, boff))
+            return
         woff = self._put(kernel.reshape(-1, cout))
         if "bias" in params:
             boff = self._put(np.asarray(params["bias"], np.float32))
         else:
             boff = NO_BIAS
-        cin = cin_g * groups
         self.ops.append((code, k, stride, pad, cin, cout, groups, 0.0,
                          woff, boff))
 
@@ -164,7 +204,8 @@ class _Builder:
         return head + recs + bytes(self.blob)
 
 
-def _grid_model_program(module, params, transpose_grid: bool) -> tuple[_Builder, int]:
+def _grid_model_program(module, params, transpose_grid: bool,
+                        weight_quant=None) -> tuple[_Builder, int]:
     """Emit the inference op sequence for a grid detector, mirroring its
     ``__call__`` with dropout elided (inference) and the shape-conditional
     pooling resolved exactly like ``module.grid_size()``."""
@@ -172,7 +213,7 @@ def _grid_model_program(module, params, transpose_grid: bool) -> tuple[_Builder,
     from fdtpu.models.resnet import Resnet
     from fdtpu.models.separable import SeparableCNN
 
-    b = _Builder()
+    b = _Builder(weight_quant)
     h = module.input_shape[0]
 
     if isinstance(module, Resnet):
@@ -235,8 +276,8 @@ def _grid_model_program(module, params, transpose_grid: bool) -> tuple[_Builder,
     return b, grid
 
 
-def _mobilenetv3_program(module, params, stats,
-                         transpose_grid: bool) -> tuple[_Builder, int]:
+def _mobilenetv3_program(module, params, stats, transpose_grid: bool,
+                         weight_quant=None) -> tuple[_Builder, int]:
     """MobileNetV3-Small inference ops (``fdtpu/models/mobilenetv3.py``,
     reference ``MobilenetV3Backbone.py:11-60``): BatchNorm folded into each
     conv, SE gates as OP_SE, hard-swish/relu activations, residual adds on
@@ -244,7 +285,7 @@ def _mobilenetv3_program(module, params, stats,
     from fdtpu.models.mobilenetv3 import MOBILENETV3_SMALL, make_divisible
 
     eps = module.bn_eps
-    b = _Builder()
+    b = _Builder(weight_quant)
 
     def fconv(conv_p, bn_name, blk_p=None, blk_s=None, **kw):
         p = blk_p if blk_p is not None else params
@@ -283,12 +324,12 @@ def _mobilenetv3_program(module, params, stats,
     return b, module.grid_size()
 
 
-def _ssd_program(module, params) -> _Builder:
+def _ssd_program(module, params, weight_quant=None) -> _Builder:
     """SSD inference ops (``fdtpu/models/ssd.py``, reference
     ``SSD.py:84-255``): stem + 9 extractor blocks + 4 scale blocks, each
     scale's position-wise Dense head written into the prior buffer, prior
     decode + NMS at the end. Dropout elided (inference)."""
-    b = _Builder()
+    b = _Builder(weight_quant)
     f = module.filters
     max_f = 16 * f
 
@@ -336,6 +377,7 @@ def export_native(
     probability_threshold: float = 0.7,
     iou_threshold: float = 0.01,
     capacity: int = 64,
+    weight_quant: str | None = None,
 ) -> Path:
     """Serialize ``module`` + weights to a ``.fdn`` artifact runnable by the
     C engine (``fdtpu.native.infer``) with zero Python/JAX at serving time.
@@ -344,7 +386,12 @@ def export_native(
     (``convert_checkpoint_to_scripted_model.py:43-48``). Weights are stored
     f32 (full precision — the engine computes f32 regardless of the
     training-time compute dtype; BatchNorm is folded at export, so the
-    artifact is inference-only).
+    artifact is inference-only). ``weight_quant="int8"`` stores the dense
+    conv weights as per-output-channel symmetric int8 (~4x smaller
+    artifact); the engine quantizes activations dynamically per conv and
+    runs an AVX-512 u8·s8 kernel where available, dequantizing at load
+    otherwise — the capability analogue of onnxruntime dynamic
+    quantization on the reference's ONNX artifact (``demo_model_onnx.py``).
     """
     from fdtpu.models.mobilenetv3 import MobileNetV3Backbone
     from fdtpu.models.ssd import SSD
@@ -367,7 +414,7 @@ def export_native(
         transpose_grid = True
 
     if isinstance(module, SSD):
-        b = _ssd_program(module, params)
+        b = _ssd_program(module, params, weight_quant)
         grid = 0  # grid_s == 0 marks an SSD artifact
     elif isinstance(module, MobileNetV3Backbone):
         if stats is None:
@@ -375,9 +422,11 @@ def export_native(
                 "MobileNetV3 export needs variables['batch_stats'] to fold "
                 "BatchNorm"
             )
-        b, grid = _mobilenetv3_program(module, params, stats, transpose_grid)
+        b, grid = _mobilenetv3_program(module, params, stats, transpose_grid,
+                                        weight_quant)
     else:
-        b, grid = _grid_model_program(module, params, transpose_grid)
+        b, grid = _grid_model_program(module, params, transpose_grid,
+                                      weight_quant)
     h, w = module.input_shape
     data = b.serialize(h, w, grid, capacity,
                        probability_threshold, iou_threshold)

@@ -48,7 +48,18 @@ enum OpCode : uint32_t {
   OP_SSD_HEAD = 12,       // Dense(cin->5) into the prior buffer
   OP_SSD_DECODE_NMS = 13, // prior decode + pixel scale + greedy NMS
   OP_PUSH_PROJ = 14,      // skip = conv1x1(x) (SSD channel projection)
+  OP_CONV_Q8 = 15,        // conv with int8 weights, dynamic u8 activations
 };
+
+// The int8 kernel needs AVX512BW (vpmaddubsw/vpmaddwd); without it the
+// loader dequantizes OP_CONV_Q8 weights to f32 once and rewrites the op to
+// OP_CONV — quantized artifacts stay 4x smaller on disk everywhere, the
+// compute win is AVX-512-only.
+#if defined(__AVX512BW__)
+constexpr bool kHasQ8 = true;
+#else
+constexpr bool kHasQ8 = false;
+#endif
 
 // A conv pad slot of -1 means TF-style SAME (asymmetric, more at the end),
 // the tf_mobilenetv3 semantics (fdtpu/models/mobilenetv3.py).
@@ -80,6 +91,7 @@ struct Model {
   std::vector<float> blob;
   // scratch sizing (exact walk)
   size_t act_elems = 0, col_elems = 0, ssd_elems = 0;
+  size_t qcol_elems = 0, qacc_elems = 0, qrows = 0;  // int8-conv bufs
 };
 
 struct Tensor {
@@ -88,15 +100,24 @@ struct Tensor {
 };
 
 // Per-thread scratch: two activation buffers + skip + im2col matrix +
-// the SSD prior buffer (sum ps^2 x 5 encoded rows).
+// the SSD prior buffer (sum ps^2 x 5 encoded rows) + the int8 path's
+// quantized input image and quantized im2col matrix.
 struct Scratch {
   std::vector<float> a, b, skip, col, ssd;
+  std::vector<uint8_t> qcol;
+  std::vector<int32_t> qacc;
+  std::vector<float> qrow_scale;
+  std::vector<int32_t> qrow_zero;
   explicit Scratch(const Model& m) {
     a.resize(m.act_elems);
     b.resize(m.act_elems);
     skip.resize(m.act_elems);
     col.resize(m.col_elems);
     ssd.resize(m.ssd_elems);
+    qcol.resize(m.qcol_elems);
+    qacc.resize(m.qacc_elems);
+    qrow_scale.resize(m.qrows);
+    qrow_zero.resize(m.qrows);
   }
 };
 
@@ -135,20 +156,52 @@ bool read_model(const char* path, Model* m) {
   }
   fclose(f);
 
+  // Without the AVX-512 int8 kernel, dequantize OP_CONV_Q8 weights to f32
+  // once (appended to the blob) and rewrite them to plain OP_CONV.
+  if (!kHasQ8) {
+    for (auto& op : m->ops) {
+      if (op.code != OP_CONV_Q8) continue;
+      int K = op.p[0] * op.p[0] * op.p[3], cout = op.p[4];
+      size_t base = op.woff / 4;
+      std::vector<float> scales(m->blob.begin() + base,
+                                m->blob.begin() + base + cout);
+      const int8_t* wq =
+          reinterpret_cast<const int8_t*>(m->blob.data() + base + 2 * cout);
+      size_t woff_new = m->blob.size() * 4;
+      m->blob.resize(m->blob.size() + (size_t)K * cout);
+      float* wm = m->blob.data() + woff_new / 4;
+      for (int kk = 0; kk < K; ++kk)
+        for (int cc = 0; cc < cout; ++cc)
+          wm[(size_t)kk * cout + cc] =
+              (float)wq[((size_t)(kk / 4) * cout + cc) * 4 + kk % 4] *
+              scales[cc];
+      op.code = OP_CONV;
+      op.woff = woff_new;
+    }
+  }
+
   // Walk shapes once to size scratch buffers exactly.
   int h = m->in_h, w = m->in_w, c = 3;
   m->act_elems = (size_t)h * w * c;
   m->col_elems = 1;
   m->ssd_elems = 0;
   for (const auto& op : m->ops) {
-    if (op.code == OP_CONV) {
+    if (op.code == OP_CONV || op.code == OP_CONV_Q8) {
       int k = op.p[0], s = op.p[1], p = op.p[2], cout = op.p[4],
           groups = op.p[5];
       int ph, pw, oh, ow;
       conv_geometry(k, s, p, h, w, &ph, &pw, &oh, &ow);
-      if (groups == 1)
+      if (op.code == OP_CONV_Q8) {
+        int K4 = (k * k * c + 3) / 4 * 4;
         m->col_elems =
             std::max(m->col_elems, (size_t)oh * ow * k * k * c);
+        m->qcol_elems = std::max(m->qcol_elems, (size_t)oh * ow * K4);
+        m->qacc_elems = std::max(m->qacc_elems, (size_t)oh * ow * cout);
+        m->qrows = std::max(m->qrows, (size_t)oh * ow);
+      } else if (groups == 1) {
+        m->col_elems =
+            std::max(m->col_elems, (size_t)oh * ow * k * k * c);
+      }
       h = oh;
       w = ow;
       c = cout;
@@ -281,6 +334,36 @@ void gemm_colmajor_rhs(const float* col, const float* wm, const float* bias,
 }
 #endif
 
+// Zero-padded im2col: rows = output pixels, each row the K = k*k*cin
+// receptive-field window, channel-fastest.
+void im2col_f32(const Tensor& in, int k, int st, int ph, int pw, int oh,
+                int ow, float* col) {
+  int K = k * k * in.c;
+  for (int oy = 0; oy < oh; ++oy) {
+    for (int ox = 0; ox < ow; ++ox) {
+      float* dst = col + ((size_t)oy * ow + ox) * K;
+      for (int dy = 0; dy < k; ++dy) {
+        int iy = oy * st - ph + dy;
+        if (iy < 0 || iy >= in.h) {
+          std::memset(dst, 0, (size_t)k * in.c * sizeof(float));
+          dst += (size_t)k * in.c;
+          continue;
+        }
+        for (int dx = 0; dx < k; ++dx) {
+          int ix = ox * st - pw + dx;
+          if (ix < 0 || ix >= in.w) {
+            std::memset(dst, 0, in.c * sizeof(float));
+          } else {
+            std::memcpy(dst, in.d + ((size_t)iy * in.w + ix) * in.c,
+                        in.c * sizeof(float));
+          }
+          dst += in.c;
+        }
+      }
+    }
+  }
+}
+
 void conv(const Model& m, const Op& op, const Tensor& in, Tensor* out,
           Scratch* s) {
   int k = op.p[0], st = op.p[1], cout = op.p[4], groups = op.p[5];
@@ -320,31 +403,202 @@ void conv(const Model& m, const Op& op, const Tensor& in, Tensor* out,
 
   int K = k * k * in.c;
   float* col = s->col.data();
-  for (int oy = 0; oy < oh; ++oy) {
-    for (int ox = 0; ox < ow; ++ox) {
-      float* dst = col + ((size_t)oy * ow + ox) * K;
-      for (int dy = 0; dy < k; ++dy) {
-        int iy = oy * st - ph + dy;
-        if (iy < 0 || iy >= in.h) {
-          std::memset(dst, 0, (size_t)k * in.c * sizeof(float));
-          dst += (size_t)k * in.c;
-          continue;
-        }
-        int dx = 0;
-        for (; dx < k; ++dx) {
-          int ix = ox * st - pw + dx;
-          if (ix < 0 || ix >= in.w) {
-            std::memset(dst, 0, in.c * sizeof(float));
-          } else {
-            std::memcpy(dst, in.d + ((size_t)iy * in.w + ix) * in.c,
-                        in.c * sizeof(float));
-          }
-          dst += in.c;
-        }
+  im2col_f32(in, k, st, ph, pw, oh, ow, col);
+  gemm_colmajor_rhs(col, wm, bias, out->d, oh * ow, K, cout);
+}
+
+// ---- int8-weight conv (OP_CONV_Q8) ----------------------------------------
+// Weights: per-cout symmetric int8, packed (ceil(K/4), cout, 4) — four
+// consecutive K-values per channel dword, the vpmaddubsw operand layout.
+// Activations: quantized dynamically per conv to u8 (a_q in [0,255],
+// a = (a_q - z) * s_a); the 7-bit weights (|w_q| <= 63) keep the i16
+// pair-sum in vpmaddubsw below saturation (255*63*2 < 32767). Output:
+//   out[m][c] = s_a * s_w[c] * (acc[m][c] - z * wsum[c]) + bias[c].
+
+// Scalar reference/edge kernel over the packed layout.
+void gemm_q8_edge(const uint8_t* qcol, const int8_t* wq, int m0, int mr,
+                  int n0, int nr, int K4, int cout, int32_t* acc_out) {
+  for (int i = 0; i < mr; ++i) {
+    const uint8_t* row = qcol + (size_t)(m0 + i) * K4;
+    for (int n = 0; n < nr; ++n) {
+      int32_t acc = 0;
+      const int8_t* wc = wq + (size_t)(n0 + n) * 4;
+      for (int g = 0; g < K4 / 4; ++g) {
+        const int8_t* wg = wc + (size_t)g * cout * 4;
+        const uint8_t* ag = row + 4 * g;
+        acc += (int32_t)ag[0] * wg[0] + (int32_t)ag[1] * wg[1] +
+               (int32_t)ag[2] * wg[2] + (int32_t)ag[3] * wg[3];
       }
+      acc_out[(size_t)i * cout + n0 + n] = acc;
     }
   }
-  gemm_colmajor_rhs(col, wm, bias, out->d, oh * ow, K, cout);
+}
+
+#if defined(__AVX512BW__)
+// 4x32 micro-kernel: 8 zmm i32 accumulators, vpmaddubsw (u8 x s8 -> i16
+// pairs) + vpmaddwd (i16 -> i32) per 4-K group — 64 MACs per 3 ops/lane.
+void gemm_q8(const uint8_t* qcol, const int8_t* wq, int M, int K4, int cout,
+             int32_t* acc_out) {
+  constexpr int MR = 4, NR = 32;
+  const __m512i ones = _mm512_set1_epi16(1);
+  int Mmain = M - M % MR, Nmain = cout - cout % NR;
+  for (int m0 = 0; m0 < Mmain; m0 += MR) {
+    const uint8_t* r0 = qcol + (size_t)m0 * K4;
+    const uint8_t* r1 = r0 + K4;
+    const uint8_t* r2 = r1 + K4;
+    const uint8_t* r3 = r2 + K4;
+    for (int n0 = 0; n0 < Nmain; n0 += NR) {
+      __m512i acc[MR][2];
+      for (int i = 0; i < MR; ++i)
+        acc[i][0] = acc[i][1] = _mm512_setzero_si512();
+      const int8_t* wp = wq + (size_t)n0 * 4;
+      for (int g = 0; g < K4 / 4; ++g) {
+        const int8_t* wg = wp + (size_t)g * cout * 4;
+        __m512i w0 = _mm512_loadu_si512((const void*)wg);
+        __m512i w1 = _mm512_loadu_si512((const void*)(wg + 64));
+        __m512i a0 = _mm512_set1_epi32(*(const int32_t*)(r0 + 4 * g));
+        __m512i a1 = _mm512_set1_epi32(*(const int32_t*)(r1 + 4 * g));
+        __m512i a2 = _mm512_set1_epi32(*(const int32_t*)(r2 + 4 * g));
+        __m512i a3 = _mm512_set1_epi32(*(const int32_t*)(r3 + 4 * g));
+        acc[0][0] = _mm512_add_epi32(
+            acc[0][0],
+            _mm512_madd_epi16(_mm512_maddubs_epi16(a0, w0), ones));
+        acc[0][1] = _mm512_add_epi32(
+            acc[0][1],
+            _mm512_madd_epi16(_mm512_maddubs_epi16(a0, w1), ones));
+        acc[1][0] = _mm512_add_epi32(
+            acc[1][0],
+            _mm512_madd_epi16(_mm512_maddubs_epi16(a1, w0), ones));
+        acc[1][1] = _mm512_add_epi32(
+            acc[1][1],
+            _mm512_madd_epi16(_mm512_maddubs_epi16(a1, w1), ones));
+        acc[2][0] = _mm512_add_epi32(
+            acc[2][0],
+            _mm512_madd_epi16(_mm512_maddubs_epi16(a2, w0), ones));
+        acc[2][1] = _mm512_add_epi32(
+            acc[2][1],
+            _mm512_madd_epi16(_mm512_maddubs_epi16(a2, w1), ones));
+        acc[3][0] = _mm512_add_epi32(
+            acc[3][0],
+            _mm512_madd_epi16(_mm512_maddubs_epi16(a3, w0), ones));
+        acc[3][1] = _mm512_add_epi32(
+            acc[3][1],
+            _mm512_madd_epi16(_mm512_maddubs_epi16(a3, w1), ones));
+      }
+      for (int i = 0; i < MR; ++i) {
+        _mm512_storeu_si512(
+            (void*)(acc_out + (size_t)(m0 + i) * cout + n0), acc[i][0]);
+        _mm512_storeu_si512(
+            (void*)(acc_out + (size_t)(m0 + i) * cout + n0 + 16),
+            acc[i][1]);
+      }
+    }
+    if (Nmain < cout)
+      gemm_q8_edge(qcol, wq, m0, MR, Nmain, cout - Nmain, K4, cout,
+                   acc_out);
+  }
+  if (Mmain < M)
+    gemm_q8_edge(qcol, wq, Mmain, M - Mmain, 0, cout, K4, cout, acc_out);
+}
+#else
+void gemm_q8(const uint8_t* qcol, const int8_t* wq, int M, int K4, int cout,
+             int32_t* acc_out) {
+  gemm_q8_edge(qcol, wq, 0, M, 0, cout, K4, cout, acc_out);
+}
+#endif
+
+void conv_q8(const Model& m, const Op& op, const Tensor& in, Tensor* out,
+             Scratch* s) {
+  int k = op.p[0], st = op.p[1], cout = op.p[4];
+  int ph, pw, oh, ow;
+  conv_geometry(k, st, op.p[2], in.h, in.w, &ph, &pw, &oh, &ow);
+  out->h = oh;
+  out->w = ow;
+  out->c = cout;
+  int K = k * k * in.c, K4 = (K + 3) / 4 * 4;
+  size_t base = op.woff / 4;
+  const float* scales = m.blob.data() + base;
+  const float* wsum = scales + cout;
+  const int8_t* wq = reinterpret_cast<const int8_t*>(wsum + cout);
+  const float* bias =
+      op.boff == kNoBias ? nullptr : m.blob.data() + op.boff / 4;
+
+  // f32 im2col (shared with the f32 conv path), then PER-ROW dynamic u8
+  // quantization: each output pixel's K-element receptive field gets its
+  // own scale/zero-point. Per-tensor ranges are wrecked by activation
+  // outliers in these BatchNorm-free LeakyReLU stacks (measured on the
+  // official PoolResnet: per-tensor quantization drifts scores by up to
+  // 0.25; per-row is ~1e-2) — locality tames the range. Padding zeros are
+  // real zeros in the f32 col, so each row's range includes them.
+  float* col = s->col.data();
+  im2col_f32(in, k, st, ph, pw, oh, ow, col);
+  int M = oh * ow;
+  uint8_t* qcol = s->qcol.data();
+  float* s_a = s->qrow_scale.data();
+  int32_t* z_a = s->qrow_zero.data();
+  for (int i = 0; i < M; ++i) {
+    const float* r = col + (size_t)i * K;
+    float lo = 0.0f, hi = 0.0f;
+    int kk = 0;
+#if defined(__AVX512F__)
+    {
+      __m512 vlo = _mm512_setzero_ps(), vhi = _mm512_setzero_ps();
+      for (; kk + 16 <= K; kk += 16) {
+        __m512 v = _mm512_loadu_ps(r + kk);
+        vlo = _mm512_min_ps(vlo, v);
+        vhi = _mm512_max_ps(vhi, v);
+      }
+      lo = _mm512_reduce_min_ps(vlo);
+      hi = _mm512_reduce_max_ps(vhi);
+    }
+#endif
+    for (; kk < K; ++kk) {
+      lo = std::min(lo, r[kk]);
+      hi = std::max(hi, r[kk]);
+    }
+    float sa = (hi - lo) / 255.0f;
+    if (sa <= 0.0f) sa = 1.0f;
+    float inv = 1.0f / sa;
+    int z = (int)nearbyintf(-lo * inv);
+    z = std::min(std::max(z, 0), 255);
+    uint8_t* q = qcol + (size_t)i * K4;
+    kk = 0;
+#if defined(__AVX512F__)
+    {
+      __m512 vinv = _mm512_set1_ps(inv);
+      __m512i vz = _mm512_set1_epi32(z), zero = _mm512_setzero_si512();
+      __m512i v255 = _mm512_set1_epi32(255);
+      for (; kk + 16 <= K; kk += 16) {
+        // cvtps rounds to nearest-even (default MXCSR), like nearbyintf
+        __m512i qi = _mm512_cvtps_epi32(
+            _mm512_mul_ps(_mm512_loadu_ps(r + kk), vinv));
+        qi = _mm512_min_epi32(
+            _mm512_max_epi32(_mm512_add_epi32(qi, vz), zero), v255);
+        _mm_storeu_si128((__m128i*)(q + kk), _mm512_cvtepi32_epi8(qi));
+      }
+    }
+#endif
+    for (; kk < K; ++kk) {
+      int qv = (int)nearbyintf(r[kk] * inv) + z;
+      q[kk] = (uint8_t)std::min(std::max(qv, 0), 255);
+    }
+    for (kk = K; kk < K4; ++kk) q[kk] = 0;  // w == 0 there anyway
+    s_a[i] = sa;
+    z_a[i] = z;
+  }
+
+  // i32 accumulate into scratch, then per-row dequantize + bias
+  int32_t* acc = s->qacc.data();
+  gemm_q8(qcol, wq, M, K4, cout, acc);
+  for (int i = 0; i < M; ++i) {
+    float* o = out->d + (size_t)i * cout;
+    const int32_t* ar = acc + (size_t)i * cout;
+    float sa = s_a[i], zf = (float)z_a[i];
+    for (int c2 = 0; c2 < cout; ++c2) {
+      float v = sa * scales[c2] * ((float)ar[c2] - zf * wsum[c2]);
+      o[c2] = bias ? v + bias[c2] : v;
+    }
+  }
 }
 
 // Greedy suppression over thresholded, rounded xyxy candidates — the exact
@@ -474,6 +728,13 @@ void run_image(const Model& m, const float* img, float* boxes,
     switch (op.code) {
       case OP_CONV:
         conv(m, op, cur, &nxt, s);
+        std::swap(cur.d, nxt.d);
+        cur.h = nxt.h;
+        cur.w = nxt.w;
+        cur.c = nxt.c;
+        break;
+      case OP_CONV_Q8:
+        conv_q8(m, op, cur, &nxt, s);
         std::swap(cur.d, nxt.d);
         cur.h = nxt.h;
         cur.w = nxt.w;
