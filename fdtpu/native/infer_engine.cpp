@@ -22,6 +22,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
 #include <numeric>
@@ -429,7 +430,7 @@ void gemm_q8_edge(const uint8_t* qcol, const int8_t* wq, int m0, int mr,
         acc += (int32_t)ag[0] * wg[0] + (int32_t)ag[1] * wg[1] +
                (int32_t)ag[2] * wg[2] + (int32_t)ag[3] * wg[3];
       }
-      acc_out[(size_t)i * cout + n0 + n] = acc;
+      acc_out[(size_t)(m0 + i) * cout + n0 + n] = acc;
     }
   }
 }
@@ -716,6 +717,19 @@ void decode_nms_ssd(const Model& m, const Op& op, const float* ssd,
              mask);
 }
 
+void debug_dump(int oi, const Tensor& t) {
+  const char* dir = getenv("FDN_DEBUG_DIR");
+  if (!dir) return;
+  char path[512];
+  snprintf(path, sizeof path, "%s/op%03d.bin", dir, oi);
+  FILE* f = fopen(path, "wb");
+  if (!f) return;
+  int hdr[3] = {t.h, t.w, t.c};
+  fwrite(hdr, 4, 3, f);
+  fwrite(t.d, 4, (size_t)t.h * t.w * t.c, f);
+  fclose(f);
+}
+
 void run_image(const Model& m, const float* img, float* boxes,
                unsigned char* mask, Scratch* s) {
   Tensor cur{(int)m.in_h, (int)m.in_w, 3, s->a.data()};
@@ -724,7 +738,9 @@ void run_image(const Model& m, const float* img, float* boxes,
   size_t npix = (size_t)m.in_h * m.in_w * 3;
   for (size_t i = 0; i < npix; ++i) cur.d[i] = img[i] / 255.0f;
 
+  int op_index = -1;
   for (const auto& op : m.ops) {
+    ++op_index;
     switch (op.code) {
       case OP_CONV:
         conv(m, op, cur, &nxt, s);
@@ -883,6 +899,7 @@ void run_image(const Model& m, const float* img, float* boxes,
         break;
       }
     }
+    debug_dump(op_index, cur);
   }
 }
 

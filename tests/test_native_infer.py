@@ -239,9 +239,14 @@ def test_native_int8_quantized(tmp_path):
     score/coordinate drift. (Per-row dynamic activation quantization —
     per-tensor ranges are wrecked by outliers in these BatchNorm-free
     stacks; see BASELINE.md.) int8 may ADD borderline detections near the
-    probability threshold; those are not a failure."""
-    m = _small_poolresnet(filters=32)
-    v = _boosted_init(m, 5.0, 0.3)
+    probability threshold; those are not a failure.
+
+    filters=24 deliberately: cout not divisible by the kernel's 32-wide
+    column block forces the scalar edge path — a row-indexing bug there
+    (block-local instead of global) once zeroed every edge result while
+    all multiple-of-32 models passed."""
+    m = _small_poolresnet(filters=24)
+    v = _boosted_init(m, 5.0, 12.0)  # probed: 11 well-separated candidates
     pf = export_native(m, v, tmp_path / "f32.fdn", probability_threshold=PROB,
                        iou_threshold=IOU, capacity=CAP)
     pq = export_native(m, v, tmp_path / "q8.fdn", probability_threshold=PROB,
