@@ -13,9 +13,11 @@ the measurement — real training pipelines the same way. Each metric is the
 driver-reproducible medians, not the best observed day; tunnel latency
 varies several-fold), with min/max reported alongside.
 
-MFU is derived from XLA's own cost analysis of the compiled programs
-(algebraic flops) against the chip's bf16 peak — the roofline accounting
-VERDICT item 3 asked for (see BASELINE.md for the per-component breakdown).
+MFU is derived from ANALYTIC conv FLOPs (``poolresnet_forward_flops``)
+against the chip's bf16 peak — XLA's ``cost_analysis()`` is unusable on
+this backend (under-reports ~30x, see that function's docstring) — the
+roofline accounting VERDICT item 3 asked for (see BASELINE.md for the
+per-component breakdown).
 
 Baseline: architecture-identical PyTorch on this machine's CPU
 (``scripts/torch_cpu_baseline.py``; measured 2026-08-16, torch 2.13, 1 core):
@@ -132,12 +134,13 @@ def main():
 
     def _train_once():
         holder["st"], losses = train_compiled(holder["st"])
+        holder["losses"] = losses  # NaN guard checks the TIMED runs
         return losses
 
     train_img_s, train_rates = _timed_rates(
         _train_once, jax.device_get, BATCH * TRAIN_SCAN
     )
-    assert np.isfinite(jax.device_get(losses)).all()
+    assert np.isfinite(jax.device_get(holder["losses"])).all()
 
     # -- inference: forward + fused decode/filter/NMS, scanned on device --
     variables = {"params": holder["st"].params}

@@ -68,9 +68,15 @@ def download_dataset_files(
         if not zip_path.exists() and "drive.google" not in link["url"]:
             _try_fetch(link["url"], zip_path)
         if zip_path.exists():
-            with zipfile.ZipFile(zip_path) as zf:
-                zf.extractall(data_dir)
-            continue
+            try:
+                with zipfile.ZipFile(zip_path) as zf:
+                    zf.extractall(data_dir)
+                continue
+            except zipfile.BadZipFile:
+                # e.g. an HTTP-200 HTML error page saved by _try_fetch;
+                # delete it so the next run re-fetches instead of crashing
+                # here forever, and fall through to the manual-URL error
+                zip_path.unlink()
         missing.append(f"  {split}: {link['url']} -> {zip_path}")
     if missing:
         raise FileNotFoundError(

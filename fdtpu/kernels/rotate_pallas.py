@@ -284,6 +284,10 @@ def _batch_chunk(kk: int, kb_max: int) -> int:
 def _shear_x(planes, k, *, k_max, row_center, interpret=False, band=16):
     """Banded horizontal shear over ``(K, R, L)`` NHWC-interleaved planes."""
     kk, r, l = planes.shape
+    # image sizes s ≡ 8 (mod 16) give r % 16 == 8: halve the band like the
+    # superseded transposed path did rather than rejecting them
+    while r % band and band > 1:
+        band //= 2
     assert l % 128 == 0 and r % band == 0, (r, l, band)
     c = 3
     j_slices = math.ceil(k_max * (band - 1)) + 2

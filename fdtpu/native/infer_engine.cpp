@@ -163,11 +163,15 @@ bool read_model(const char* path, Model* m) {
     for (auto& op : m->ops) {
       if (op.code != OP_CONV_Q8) continue;
       int K = op.p[0] * op.p[0] * op.p[3], cout = op.p[4];
+      int K4 = (K + 3) / 4 * 4;
       size_t base = op.woff / 4;
       std::vector<float> scales(m->blob.begin() + base,
                                 m->blob.begin() + base + cout);
-      const int8_t* wq =
+      // copy the packed int8 bytes BEFORE resize(): the resize reallocates
+      // the blob and would leave wq dangling
+      const int8_t* wq_src =
           reinterpret_cast<const int8_t*>(m->blob.data() + base + 2 * cout);
+      std::vector<int8_t> wq(wq_src, wq_src + (size_t)K4 * cout);
       size_t woff_new = m->blob.size() * 4;
       m->blob.resize(m->blob.size() + (size_t)K * cout);
       float* wm = m->blob.data() + woff_new / 4;

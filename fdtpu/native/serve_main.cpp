@@ -31,6 +31,21 @@ int fdn_predict(void* h, const float* imgs, int batch, float* boxes,
                 unsigned char* mask, int num_threads);
 }
 
+// JSON string escaping for the file field: quotes, backslashes, control
+// chars — paths are user input and the JPEG-in/JSON-out contract promises
+// parseable lines.
+static void print_json_escaped(const char* s) {
+  for (; *s; ++s) {
+    unsigned char ch = (unsigned char)*s;
+    if (ch == '"' || ch == '\\')
+      printf("\\%c", ch);
+    else if (ch < 0x20)
+      printf("\\u%04x", ch);
+    else
+      putchar(ch);
+  }
+}
+
 static std::vector<unsigned char> read_file(const char* path) {
   FILE* f = fopen(path, "rb");
   if (!f) return {};
@@ -89,7 +104,9 @@ int main(int argc, char** argv) {
       fprintf(stderr, "error: predict failed on %s\n", path);
       continue;
     }
-    printf("{\"file\": \"%s\", \"boxes\": [", path);
+    printf("{\"file\": \"");
+    print_json_escaped(path);
+    printf("\", \"boxes\": [");
     bool first = true;
     for (int k = 0; k < cap; ++k) {
       if (!mask[k]) continue;
