@@ -498,9 +498,34 @@ void gemm_q8(const uint8_t* qcol, const int8_t* wq, int M, int K4, int cout,
             acc[i][1]);
       }
     }
-    if (Nmain < cout)
-      gemm_q8_edge(qcol, wq, m0, MR, Nmain, cout - Nmain, K4, cout,
-                   acc_out);
+    int n0 = Nmain;
+    if (cout - n0 >= 16) {  // one-zmm block: covers MobileNetV3's 24/40/48
+      __m512i acc[MR];
+      for (int i = 0; i < MR; ++i) acc[i] = _mm512_setzero_si512();
+      const int8_t* wp = wq + (size_t)n0 * 4;
+      for (int g = 0; g < K4 / 4; ++g) {
+        const int8_t* wg = wp + (size_t)g * cout * 4;
+        __m512i w0 = _mm512_loadu_si512((const void*)wg);
+        __m512i a0 = _mm512_set1_epi32(*(const int32_t*)(r0 + 4 * g));
+        __m512i a1 = _mm512_set1_epi32(*(const int32_t*)(r1 + 4 * g));
+        __m512i a2 = _mm512_set1_epi32(*(const int32_t*)(r2 + 4 * g));
+        __m512i a3 = _mm512_set1_epi32(*(const int32_t*)(r3 + 4 * g));
+        acc[0] = _mm512_add_epi32(
+            acc[0], _mm512_madd_epi16(_mm512_maddubs_epi16(a0, w0), ones));
+        acc[1] = _mm512_add_epi32(
+            acc[1], _mm512_madd_epi16(_mm512_maddubs_epi16(a1, w0), ones));
+        acc[2] = _mm512_add_epi32(
+            acc[2], _mm512_madd_epi16(_mm512_maddubs_epi16(a2, w0), ones));
+        acc[3] = _mm512_add_epi32(
+            acc[3], _mm512_madd_epi16(_mm512_maddubs_epi16(a3, w0), ones));
+      }
+      for (int i = 0; i < MR; ++i)
+        _mm512_storeu_si512(
+            (void*)(acc_out + (size_t)(m0 + i) * cout + n0), acc[i]);
+      n0 += 16;
+    }
+    if (n0 < cout)
+      gemm_q8_edge(qcol, wq, m0, MR, n0, cout - n0, K4, cout, acc_out);
   }
   if (Mmain < M)
     gemm_q8_edge(qcol, wq, Mmain, M - Mmain, 0, cout, K4, cout, acc_out);
@@ -535,8 +560,14 @@ void conv_q8(const Model& m, const Op& op, const Tensor& in, Tensor* out,
   // official PoolResnet: per-tensor quantization drifts scores by up to
   // 0.25; per-row is ~1e-2) — locality tames the range. Padding zeros are
   // real zeros in the f32 col, so each row's range includes them.
-  float* col = s->col.data();
-  im2col_f32(in, k, st, ph, pw, oh, ow, col);
+  // 1x1 convs (the whole MobileNetV3 quantized surface) need no im2col —
+  // the input IS the row matrix; skipping the copy trims the per-row
+  // quantize overhead that makes int8 marginal on small-K convs
+  const float* col = in.d;
+  if (k != 1 || st != 1) {
+    im2col_f32(in, k, st, ph, pw, oh, ow, s->col.data());
+    col = s->col.data();
+  }
   int M = oh * ow;
   uint8_t* qcol = s->qcol.data();
   float* s_a = s->qrow_scale.data();
