@@ -275,6 +275,42 @@ def test_native_int8_quantized(tmp_path):
     assert total > 0
 
 
+def test_reference_interp_matches_engine_dumps(tmp_path, monkeypatch):
+    """The numpy .fdn interpreter reproduces the C engine's per-op
+    activations (FDN_DEBUG_DIR dumps) on an int8 artifact — the harness
+    that root-caused the q8 edge-kernel bug, pinned so both sides of the
+    oracle stay in sync with the format."""
+    import struct
+
+    from fdtpu.native.reference_interp import trace
+
+    m = _small_poolresnet(filters=24)  # cout%32 != 0: edge path covered
+    v = _boosted_init(m, 5.0, 12.0)
+    p = export_native(m, v, tmp_path / "d.fdn", probability_threshold=PROB,
+                      iou_threshold=IOU, capacity=CAP, weight_quant="int8")
+    img = _images(n=1, size=160)[0]
+    dump = tmp_path / "dumps"
+    dump.mkdir()
+    monkeypatch.setenv("FDN_DEBUG_DIR", str(dump))
+    det = NativeDetector(p)
+    det.predict(img[None], num_threads=1)
+    ops, acts, _ = trace(p, img, quantized=True)
+    compared = 0
+    for oi, act in enumerate(acts):
+        f = dump / f"op{oi:03d}.bin"
+        if act is None or not f.exists():
+            continue
+        raw = f.read_bytes()
+        h, w, c = struct.unpack_from("<3i", raw)
+        got = np.frombuffer(raw, np.float32, offset=12).reshape(h, w, c)
+        assert got.shape == act.shape, (oi, got.shape, act.shape)
+        scale = max(1.0, float(np.abs(act).max()))
+        np.testing.assert_allclose(got, act, atol=2e-3 * scale, rtol=0,
+                                   err_msg=f"op {oi}")
+        compared += 1
+    assert compared >= 8  # convs + activations actually checked
+
+
 def test_native_cli_serves_jpeg(tmp_path):
     """fdn_serve: JPEG in -> JSON boxes out, zero Python in the process."""
     from PIL import Image
