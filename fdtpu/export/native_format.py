@@ -140,10 +140,8 @@ class _Builder:
             wq = np.clip(np.rint(wm / scales), -63, 63).astype(np.int8)
             wsum = wq.astype(np.int32).sum(axis=0).astype(np.float32)
             K4 = (K + 3) // 4 * 4
-            packed = np.zeros((K4 // 4, cout, 4), np.int8)
-            for g in range(K4 // 4):
-                chunk = wq[4 * g:4 * g + 4]  # (<=4, cout)
-                packed[g, :, :chunk.shape[0]] = chunk.T
+            packed = np.pad(wq, ((0, K4 - K), (0, 0))).reshape(
+                K4 // 4, 4, cout).transpose(0, 2, 1)  # (group, cout, 4)
             woff = self._put(scales)
             self._put(wsum)
             self._put_bytes(packed.tobytes())

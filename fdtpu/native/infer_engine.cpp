@@ -25,7 +25,6 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
-#include <numeric>
 #include <thread>
 #include <vector>
 
@@ -921,8 +920,7 @@ void run_image(const Model& m, const float* img, float* boxes,
       case OP_PUSH_PROJ: {
         // skip = conv1x1(cur): the SSD block's channel-matching skip
         // projection (SSD.py:30-36); cur is untouched.
-        int cin = op.p[3], cout = op.p[4];
-        (void)cin;
+        int cout = op.p[4];
         const float* wm = m.blob.data() + op.woff / 4;
         const float* bias =
             op.boff == kNoBias ? nullptr : m.blob.data() + op.boff / 4;
