@@ -54,6 +54,16 @@ def build(force: bool = False) -> Path | None:
             return _LIB
     ok = _gxx(["-shared", "-fPIC", str(_SRC), "-o", str(_LIB), "-pthread"])
     if not ok:
+        # A stale-but-loadable library beats no library: if the rebuild
+        # fails (toolchain regressed) fall back to the existing .so with a
+        # warning instead of disabling native serving entirely.
+        if _LIB.exists():
+            import warnings
+
+            warnings.warn(
+                "native engine rebuild failed; using the stale "
+                f"{_LIB.name} already on disk", RuntimeWarning)
+            return _LIB
         _build_failed = True
         return None
     return _LIB

@@ -121,6 +121,110 @@ struct Scratch {
   }
 };
 
+// Validate every op record against the header shapes and the actual blob
+// BEFORE anything indexes m.blob: fdn_serve takes arbitrary model paths, so
+// a truncated or corrupted .fdn must fail to load instead of reading out of
+// bounds (round-3 advisor finding). Walks the same shape chain as the
+// scratch sizing below and checks each weight/bias offset is 4-aligned and
+// its expected element count fits the blob.
+bool validate_model(const Model& m) {
+  const size_t nblob = m.blob.size();  // f32 elements
+  auto fits = [&](uint64_t off, size_t f32_elems) {
+    return off % 4 == 0 && off / 4 <= nblob && f32_elems <= nblob - off / 4;
+  };
+  if (m.in_h < 1 || m.in_w < 1 || m.in_h > (1u << 14) || m.in_w > (1u << 14))
+    return false;
+  if (m.capacity < 1 || m.capacity > (1u << 20)) return false;
+  int h = (int)m.in_h, w = (int)m.in_w, c = 3;
+  size_t ssd_rows = 0;  // prior-buffer extent established by SSD_HEAD ops
+  for (const auto& op : m.ops) {
+    const int k = op.p[0], st = op.p[1], pad = op.p[2], cin = op.p[3],
+              cout = op.p[4], groups = op.p[5];
+    switch (op.code) {
+      case OP_CONV:
+      case OP_CONV_Q8:
+      case OP_PUSH_PROJ: {
+        if (k < 1 || k > 64 || st < 1 || st > 64 || pad < -1 || cin != c ||
+            cout < 1 || cout > (1 << 16) || groups < 1 || cin % groups != 0)
+          return false;
+        // the depthwise path assumes groups == cin == cout; Q8 and the
+        // skip projection are dense only
+        if (groups > 1 && (op.code != OP_CONV || groups != cin ||
+                           cin != cout))
+          return false;
+        if (op.code == OP_PUSH_PROJ && k != 1) return false;
+        int ph, pw, oh, ow;
+        conv_geometry(k, st, pad, h, w, &ph, &pw, &oh, &ow);
+        if (oh < 1 || ow < 1) return false;
+        const size_t K = (size_t)k * k * (cin / groups);
+        if (op.code == OP_CONV_Q8) {
+          const size_t K4 = (K + 3) / 4 * 4;
+          // scales (cout) + wsum (cout) f32, then K4*cout int8 bytes
+          if (!fits(op.woff, 2 * (size_t)cout + (K4 * cout + 3) / 4))
+            return false;
+        } else if (!fits(op.woff, K * cout)) {
+          return false;
+        }
+        if (op.boff != kNoBias && !fits(op.boff, cout)) return false;
+        if (op.code != OP_PUSH_PROJ) {
+          h = oh;
+          w = ow;
+          c = cout;
+        }
+        break;
+      }
+      case OP_MAXPOOL2:
+        h /= 2;
+        w /= 2;
+        if (h < 1 || w < 1) return false;
+        break;
+      case OP_SE: {
+        const int C = op.p[0], R = op.p[1];
+        if (C != c || R < 1 ||
+            !fits(op.woff, 2 * (size_t)C * R + R + C))
+          return false;
+        break;
+      }
+      case OP_SSD_HEAD: {
+        const int hc = op.p[0], prior_off = op.p[1], npix = op.p[2];
+        if (hc != c || prior_off < 0 || npix != h * w ||
+            !fits(op.woff, (size_t)hc * 5) ||
+            (op.boff == kNoBias || !fits(op.boff, 5)))
+          return false;
+        ssd_rows = std::max(ssd_rows, (size_t)prior_off + npix);
+        break;
+      }
+      case OP_SSD_DECODE_NMS: {
+        const int n_scales = op.p[0];
+        if (n_scales < 1 || n_scales > 5) return false;
+        size_t total = 0;
+        for (int si = 0; si < n_scales; ++si) {
+          if (op.p[1 + si] < 1) return false;
+          total += (size_t)op.p[1 + si] * op.p[1 + si];
+        }
+        if (total > ssd_rows) return false;  // decode past the head writes
+        break;
+      }
+      case OP_TRANSPOSE_GRID:
+        if (h != w) return false;
+        break;
+      case OP_DECODE_NMS:
+        if (h != (int)m.grid_s || w != (int)m.grid_s || c != 5) return false;
+        break;
+      case OP_LEAKY:
+      case OP_SIGMOID:
+      case OP_PUSH:
+      case OP_ADDSKIP:
+      case OP_RELU:
+      case OP_HARDSWISH:
+        break;
+      default:
+        return false;  // unknown op code
+    }
+  }
+  return true;
+}
+
 bool read_model(const char* path, Model* m) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
@@ -132,6 +236,23 @@ bool read_model(const char* path, Model* m) {
       head_u[1] < 1 || head_u[1] > 2) {
     fclose(f);
     return false;
+  }
+  // Cap n_ops/blob_bytes against the actual file size before allocating:
+  // the format is exactly header + n_ops records + blob.
+  {
+    long data_start = ftell(f);
+    if (data_start < 0 || fseek(f, 0, SEEK_END) != 0) {
+      fclose(f);
+      return false;
+    }
+    long fsz = ftell(f);
+    if (fsz < 0 || blob_bytes % 4 != 0 ||
+        (uint64_t)fsz !=
+            (uint64_t)data_start + (uint64_t)head_u[2] * 48 + blob_bytes ||
+        fseek(f, data_start, SEEK_SET) != 0) {
+      fclose(f);
+      return false;
+    }
   }
   m->n_ops = head_u[2];
   m->in_h = head_u[3];
@@ -155,6 +276,8 @@ bool read_model(const char* path, Model* m) {
     return false;
   }
   fclose(f);
+
+  if (!validate_model(*m)) return false;
 
   // Without the AVX-512 int8 kernel, dequantize OP_CONV_Q8 weights to f32
   // once (appended to the blob) and rewrite them to plain OP_CONV.
@@ -764,8 +887,11 @@ void debug_dump(int oi, const Tensor& t) {
   fclose(f);
 }
 
+// img_index gates the FDN_DEBUG_DIR dump: per-op filenames are keyed by op
+// index only, so with batch > 1 (or multiple threads) every image would
+// overwrite the same files — only image 0 dumps (round-3 advisor finding).
 void run_image(const Model& m, const float* img, float* boxes,
-               unsigned char* mask, Scratch* s) {
+               unsigned char* mask, Scratch* s, int img_index) {
   Tensor cur{(int)m.in_h, (int)m.in_w, 3, s->a.data()};
   Tensor nxt{0, 0, 0, s->b.data()};
   Tensor skip{0, 0, 0, s->skip.data()};
@@ -932,7 +1058,7 @@ void run_image(const Model& m, const float* img, float* boxes,
         break;
       }
     }
-    debug_dump(op_index, cur);
+    if (img_index == 0) debug_dump(op_index, cur);
   }
 }
 
@@ -978,7 +1104,7 @@ int fdn_predict(void* h, const float* imgs, int batch, float* boxes,
     Scratch s(*m);
     for (int i = t; i < batch; i += num_threads)
       run_image(*m, imgs + i * img_sz, boxes + i * box_sz,
-                mask + (size_t)i * m->capacity, &s);
+                mask + (size_t)i * m->capacity, &s, i);
   };
   if (num_threads == 1) {
     worker(0);

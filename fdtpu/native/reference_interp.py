@@ -108,14 +108,21 @@ def trace(path: str, img: np.ndarray, quantized: bool = True):
                 if quantized:
                     lo = np.minimum(col.min(axis=1), 0)
                     hi = np.maximum(col.max(axis=1), 0)
-                    sa = np.where(hi - lo <= 0, 1.0,
-                                  (hi - lo) / 255.0).astype(np.float32)
-                    z = np.clip(np.rint(-lo / sa), 0, 255).astype(np.float32)
-                    q = np.clip(np.rint(col / sa[:, None]) + z[:, None],
-                                0, 255).astype(np.float32)
-                    acc = q @ wmat
-                    y = (sa[:, None] * scales[None, :]
-                         * (acc - z[:, None] * wsum[None, :]) + bias)
+                    # mirror the engine's f32 arithmetic exactly, including
+                    # its multiply-by-reciprocal (rint(r*inv), not rint(r/sa)
+                    # — they round differently at .5 boundaries)
+                    sa = ((hi - lo) / np.float32(255.0)).astype(np.float32)
+                    sa = np.where(sa <= 0, np.float32(1.0), sa)
+                    inv = (np.float32(1.0) / sa).astype(np.float32)
+                    z = np.clip(np.rint(-lo * inv), 0, 255).astype(np.float32)
+                    q = np.clip(np.rint(col * inv[:, None]) + z[:, None],
+                                0, 255).astype(np.int64)
+                    # integer accumulation like the engine's i32 GEMM: a
+                    # float matmul loses exactness past 2^24 (K ~ 1000 convs)
+                    acc = (q @ wmat.astype(np.int64)).astype(np.float32)
+                    y = ((sa[:, None] * scales[None, :]).astype(np.float32)
+                         * (acc - (z[:, None] * wsum[None, :]).astype(
+                             np.float32)) + bias)
                 else:
                     y = col @ (wmat * scales[None, :]) + bias
             x = y.reshape(oh, ow, cout).astype(np.float32)
@@ -130,6 +137,13 @@ def trace(path: str, img: np.ndarray, quantized: bool = True):
             skip = x.copy()
         elif code == 6:  # ADDSKIP
             x = x + skip
+        elif code == 14:  # PUSH_PROJ: skip = conv1x1(x), x untouched
+            cin, cout = p3, p4
+            h, w, _ = x.shape
+            wm = blob[woff // 4: woff // 4 + cin * cout].reshape(cin, cout)
+            bias = (blob[boff // 4: boff // 4 + cout]
+                    if boff != NO_BIAS else np.float32(0))
+            skip = (x.reshape(-1, cin) @ wm + bias).reshape(h, w, cout)
         elif code == 8:  # TRANSPOSE_GRID
             x = np.transpose(x, (1, 0, 2))
         elif code == 9:  # RELU

@@ -13,6 +13,8 @@
 // ...]} with pixel coords at the model's input resolution. --bench N
 // re-runs the forward+NMS N times on the first image and reports img/s.
 
+#include <sys/stat.h>
+
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
@@ -47,10 +49,19 @@ static void print_json_escaped(const char* s) {
 }
 
 static std::vector<unsigned char> read_file(const char* path) {
+  // fopen("rb") accepts directories on Linux and ftell then returns junk
+  // (huge positive values -> vector(n) throws and kills the CLI): require a
+  // regular file and a sane ftell, reporting a per-image error otherwise.
+  struct stat st;
+  if (stat(path, &st) != 0 || !S_ISREG(st.st_mode)) return {};
   FILE* f = fopen(path, "rb");
   if (!f) return {};
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
+  if (n < 0 || n != (long)st.st_size) {
+    fclose(f);
+    return {};
+  }
   fseek(f, 0, SEEK_SET);
   std::vector<unsigned char> buf(n);
   if (n > 0 && fread(buf.data(), 1, n, f) != (size_t)n) buf.clear();

@@ -311,6 +311,80 @@ def test_reference_interp_matches_engine_dumps(tmp_path, monkeypatch):
     assert compared >= 8  # convs + activations actually checked
 
 
+def test_reference_interp_ssd_artifact(tmp_path, monkeypatch):
+    """The numpy interpreter handles SSD artifacts — PUSH_PROJ (op 14) skip
+    projections and SSD_HEAD prior writes — matching the engine's per-op
+    dumps. Round-3 advisor finding: op 14 was silently skipped, so trace()
+    crashed or mis-traced on exactly the artifacts SSD debugging needs."""
+    import struct
+
+    from fdtpu.models.ssd import SSD
+    from fdtpu.native.reference_interp import trace
+
+    m = SSD(filters=8, input_shape=(64, 64), patch_sizes=(8, 4, 2, 1),
+            dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), train=False)
+    p = export_native(m, v, tmp_path / "ssd.fdn", probability_threshold=PROB,
+                      iou_threshold=IOU, capacity=CAP, weight_quant="int8")
+    img = _images(n=1, size=64)[0]
+    dump = tmp_path / "dumps"
+    dump.mkdir()
+    monkeypatch.setenv("FDN_DEBUG_DIR", str(dump))
+    NativeDetector(p).predict(img[None], num_threads=1)
+    ops, acts, ssd = trace(p, img, quantized=True)
+    assert any(op[0] == 14 for op in ops), "PUSH_PROJ not exercised"
+    assert ssd, "SSD heads produced no prior-buffer writes"
+    # Tolerance note: the interpreter can't be bit-exact on deep quantized
+    # stacks — 1-ulp f32 GEMM differences at the first conv flip a few
+    # per-row rint() quantization boundaries (one u8 code = ~5e-4 here) and
+    # the flips compound per conv; measured ceiling on this 20-conv stack is
+    # ~6e-3. Programming errors (what this oracle exists to catch) produce
+    # O(scale) garbage, well past this band.
+    compared = 0
+    for oi, act in enumerate(acts):
+        f = dump / f"op{oi:03d}.bin"
+        if act is None or not f.exists():
+            continue
+        raw = f.read_bytes()
+        h, w, c = struct.unpack_from("<3i", raw)
+        got = np.frombuffer(raw, np.float32, offset=12).reshape(h, w, c)
+        assert got.shape == act.shape, (oi, got.shape, act.shape)
+        scale = max(1.0, float(np.abs(act).max()))
+        np.testing.assert_allclose(got, act, atol=1e-2 * scale, rtol=0,
+                                   err_msg=f"op {oi}")
+        compared += 1
+    # the ADDSKIP ops after each PUSH_PROJ only match if the projection is
+    # computed correctly, so they must be among the compared activations
+    addskips = [i for i, op in enumerate(ops) if op[0] == 6]
+    assert compared > len(addskips) >= 4
+
+
+def test_native_rejects_corrupt_artifact(tmp_path):
+    """read_model() validates op offsets/shapes against the blob and the
+    file size: truncated or corrupted .fdn files fail to LOAD instead of
+    reading out of bounds (round-3 advisor finding)."""
+    m = _small_poolresnet(filters=16)
+    v = _boosted_init(m, 5.0, 0.3)
+    p = export_native(m, v, tmp_path / "ok.fdn", probability_threshold=PROB,
+                      iou_threshold=IOU, capacity=CAP)
+    NativeDetector(p)  # sane artifact still loads
+    raw = bytearray(p.read_bytes())
+
+    trunc = tmp_path / "trunc.fdn"
+    trunc.write_bytes(raw[: len(raw) // 2])
+    with pytest.raises(ValueError):
+        NativeDetector(trunc)
+
+    # point the first op's weight offset past the blob (woff lives at
+    # header 44 + 4 code + 24 p + 4 f0 = offset 76, little-endian u64)
+    bad = bytearray(raw)
+    bad[76:84] = (1 << 40).to_bytes(8, "little")
+    badp = tmp_path / "badoff.fdn"
+    badp.write_bytes(bytes(bad))
+    with pytest.raises(ValueError):
+        NativeDetector(badp)
+
+
 def test_native_cli_serves_jpeg(tmp_path):
     """fdn_serve: JPEG in -> JSON boxes out, zero Python in the process."""
     from PIL import Image
