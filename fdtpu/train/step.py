@@ -186,6 +186,23 @@ def _loss_norm(module, enc, sample_mask):
     return jnp.sum(sample_mask)
 
 
+def _reduce_loss_sum(axis_name, loss_sum, norm, normalized: bool):
+    """Cross-shard reduction of the *reported* loss. YOLO's ``loss_sum`` is
+    an un-normalized sum, so a plain psum is exact. SSD's is already
+    /num_pos-normalized per shard (``SSDLoss.py:85-86``) and per-shard
+    ``num_pos`` is generally uneven, so it must be un-normalized by the
+    local divisor, psum'd, and re-normalized by the global one — the same
+    weighting as ``_grad_all_reduce`` (a raw psum of locally-normalized
+    shard losses over-reports by up to the shard count)."""
+    if not normalized:
+        return jax.lax.psum(loss_sum, axis_name)
+    norm = norm.astype(jnp.float32)
+    w_local = jnp.maximum(norm, 1.0).astype(loss_sum.dtype)
+    denom = jnp.maximum(jax.lax.psum(norm, axis_name), 1.0)
+    return (jax.lax.psum(loss_sum * w_local, axis_name)
+            / denom.astype(loss_sum.dtype))
+
+
 def make_train_step(
     module,
     tx: optax.GradientTransformation,
@@ -229,9 +246,8 @@ def make_train_step(
             module, p, state.batch_stats, imgs, enc, gt_locs,
             drop_rng, True, neg_pos_ratio, sample_mask, bg_push,
         )
-        grad_reduce = _grad_all_reduce(
-            axis_name, _loss_norm(module, enc, sample_mask)
-        )
+        norm = _loss_norm(module, enc, sample_mask)
+        grad_reduce = _grad_all_reduce(axis_name, norm)
         if config.use_sam:
             loss, aux, grads = sam_gradients(
                 loss_fn, state.params, config.sam_rho, grad_reduce=grad_reduce
@@ -244,7 +260,8 @@ def make_train_step(
                 grads = grad_reduce(grads)
         loss_sum, out, new_stats = aux
         if axis_name is not None:
-            loss_sum = jax.lax.psum(loss_sum, axis_name)
+            loss_sum = _reduce_loss_sum(axis_name, loss_sum, norm,
+                                        is_ssd(module))
             if new_stats:
                 new_stats = jax.lax.pmean(new_stats, axis_name)
 
@@ -321,7 +338,10 @@ def make_eval_step(
         scalars = {"loss": loss_sum}
         det = detection_metrics(pred_boxes, pred_mask, bx, bm, sample_mask)
         if axis_name is not None:
-            scalars["loss"] = jax.lax.psum(loss_sum, axis_name)
+            scalars["loss"] = _reduce_loss_sum(
+                axis_name, loss_sum, _loss_norm(module, enc, sample_mask),
+                is_ssd(module),
+            )
             det = _weighted_metric_reduce(det, sample_mask, axis_name)
         scalars.update(det)
         if return_boxes:
