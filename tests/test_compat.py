@@ -175,37 +175,11 @@ def test_export_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(mask), np.asarray(want_mask))
 
 
-def test_single_image_box_parity_official_checkpoint(rng):
-    """BASELINE.json gate: single-image box coords & scores from the official
-    checkpoint must match the PyTorch outputs within fp tolerance.
-
-    The torch graph's own predict branch can't run here (its torchvision nms
-    is stubbed), so the oracle is: torch forward -> the reference's decode
-    math re-derived in numpy (scale_batch_bbx_xywh + threshold + round +
-    greedy NMS, utils.py:111-170) — compared against fdtpu's full fused path
-    on the imported weights via ReferenceLayoutGrid."""
-    from fdtpu.compat import load_reference_detector
-    from fdtpu.core.nms import decode_filter_nms
-    from fdtpu.models import PoolResnet
-
-    path = OFFICIAL / "PoolResnet" / "medium_model_10x10_480.pth"
-    img_path = Path("/root/reference/imgs/test_imgs/3.jpg")
-    if not img_path.exists():
-        pytest.skip("reference test images not mounted")
-    from PIL import Image
-
-    img = np.asarray(
-        Image.open(img_path).convert("RGB").resize((480, 480), Image.BILINEAR),
-        np.float32,
-    )
-    x = img[None] / 255.0
-
-    # torch forward -> (5, 10, 10) reference-layout map
-    fm = _torch_forward(path, x.transpose(0, 3, 1, 2))[0]
-
-    # reference decode oracle (utils.py:118-126, 157-170), numpy
-    prob_thr, iou_thr = 0.7, 0.01
-    s, width, height = 10, 480, 480
+def _reference_decode_numpy(fm, s, width, height, prob_thr, iou_thr):
+    """The reference's decode math re-derived in numpy from a reference-layout
+    ``(5, S, S)`` map (dim1 = x-cell): scale_batch_bbx_xywh + threshold +
+    round + greedy NMS (``utils.py:111-170``). Returns ``(K, 5)``
+    ``[score, x, y, w, h]``."""
     patch = width / s
     cand = []
     for i in range(s):
@@ -217,6 +191,8 @@ def test_single_image_box_parity_official_checkpoint(rng):
                 bw = fm[3, i, j] * width
                 bh = fm[4, i, j] * height
                 cand.append([conf, bx, by, bw, bh])
+    if not cand:
+        return np.zeros((0, 5), np.float32)
     cand = np.asarray(cand, np.float32)
     xyxy = np.round(
         np.stack(
@@ -242,11 +218,42 @@ def test_single_image_box_parity_official_checkpoint(rng):
                   + (b[2] - b[0]) * (b[3] - b[1]) - inter)
             if ua > 0 and inter / ua > iou_thr:
                 suppressed[jdx] = True
-    want = np.stack(
+    return np.stack(
         [cand[keep, 0], xyxy[keep, 0], xyxy[keep, 1],
          xyxy[keep, 2] - xyxy[keep, 0], xyxy[keep, 3] - xyxy[keep, 1]],
         axis=1,
     )
+
+
+def test_single_image_box_parity_official_checkpoint(rng):
+    """BASELINE.json gate: single-image box coords & scores from the official
+    checkpoint must match the PyTorch outputs within fp tolerance.
+
+    The torch graph's own predict branch can't run here (its torchvision nms
+    is stubbed), so the oracle is: torch forward -> the reference's decode
+    math re-derived in numpy (``_reference_decode_numpy``) — compared against
+    fdtpu's full fused path on the imported weights via
+    ReferenceLayoutGrid."""
+    from fdtpu.compat import load_reference_detector
+    from fdtpu.core.nms import decode_filter_nms
+    from fdtpu.models import PoolResnet
+
+    path = OFFICIAL / "PoolResnet" / "medium_model_10x10_480.pth"
+    img_path = Path("/root/reference/imgs/test_imgs/3.jpg")
+    if not img_path.exists():
+        pytest.skip("reference test images not mounted")
+    from PIL import Image
+
+    img = np.asarray(
+        Image.open(img_path).convert("RGB").resize((480, 480), Image.BILINEAR),
+        np.float32,
+    )
+    x = img[None] / 255.0
+
+    # torch forward -> (5, 10, 10) reference-layout map
+    fm = _torch_forward(path, x.transpose(0, 3, 1, 2))[0]
+    prob_thr, iou_thr = 0.7, 0.01
+    want = _reference_decode_numpy(fm, 10, 480, 480, prob_thr, iou_thr)
 
     # fdtpu path: import + layout adapter + fused decode/filter/NMS
     module = PoolResnet(
@@ -266,6 +273,97 @@ def test_single_image_box_parity_official_checkpoint(rng):
     assert got.shape == want.shape and got.shape[0] >= 1
     np.testing.assert_allclose(got[:, 0], want[:, 0], rtol=1e-4)  # scores
     np.testing.assert_allclose(got[:, 1:], want[:, 1:], atol=1.0)  # coords
+
+
+@pytest.mark.parametrize("arch", ["poolresnet", "mobilenetv3"])
+def test_all_test_images_box_set_parity(arch):
+    """Round-3 VERDICT #6 — full-set mAP-parity proxy: the official
+    checkpoints over ALL reference test images (the only real photos in the
+    container, ``single_image_inference.py:87-91``), fdtpu's fused decode vs
+    the torch-forward + reference-decode oracle. Per image, the box SETS
+    must match: same count, position-sorted coords within 1px (the decode
+    rounds to ints), scores within forward-parity tolerance. The closest
+    real-data stand-in for the blocked WIDERFace-val mAP gate."""
+    import torch as _torch
+
+    from fdtpu.compat import load_reference_detector
+    from fdtpu.compat.torch_import import _register_stub_ops
+    from fdtpu.core.nms import decode_filter_nms
+    from fdtpu.models import MobileNetV3Backbone, PoolResnet
+
+    img_dir = Path("/root/reference/imgs/test_imgs")
+    if not img_dir.exists():
+        pytest.skip("reference test images not mounted")
+    from PIL import Image
+
+    if arch == "poolresnet":
+        path = OFFICIAL / "PoolResnet" / "medium_model_10x10_480.pth"
+        module = PoolResnet(
+            filters=64, input_shape=(480, 480), num_patches=10,
+            num_residual_blocks=10, dtype=jnp.float32,
+        )
+        s, score_rtol = 10, 1e-4
+    else:
+        path = OFFICIAL / "MobilenetV3Backbone" / "medium_model_15x15_480.pth"
+        module = MobileNetV3Backbone(
+            input_shape=(480, 480), num_patches=15, dtype=jnp.float32
+        )
+        s, score_rtol = 15, 5e-3  # forward parity is 5e-4 on raw maps
+
+    paths = sorted(img_dir.glob("*.jpg"))
+    assert len(paths) >= 20, paths
+    imgs = np.stack([
+        np.asarray(
+            Image.open(p).convert("RGB").resize((480, 480), Image.BILINEAR),
+            np.float32,
+        ) for p in paths
+    ]) / 255.0
+
+    _register_stub_ops()
+    tmod = _torch.jit.load(str(path), map_location="cpu")
+    tmod.eval()
+    with _torch.no_grad():
+        fms = tmod(_torch.tensor(imgs.transpose(0, 3, 1, 2))).numpy()
+
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3)), train=False
+    )
+    wrapped, wvars = load_reference_detector(str(path), module, variables)
+    prob_thr, iou_thr = 0.5, 0.01
+    out = jax.jit(
+        lambda x: wrapped.apply(wvars, x, train=False)
+    )(jnp.asarray(imgs))
+    # capacity = all grid cells: the XLA decode truncates to top-capacity
+    # BEFORE suppression (static-shape compromise, core/nms.py), so any
+    # smaller capacity legitimately diverges from the scan-everything oracle
+    # on crowd photos where >capacity cells clear the threshold
+    boxes, mask = jax.vmap(
+        lambda o: decode_filter_nms(o, s, (480, 480), prob_thr, iou_thr,
+                                    capacity=s * s)
+    )(out)
+    boxes, mask = np.asarray(boxes), np.asarray(mask)
+
+    order = lambda a: a[np.lexsort((a[:, 1], a[:, 2]))]
+    total, max_coord_drift, max_score_drift = 0, 0.0, 0.0
+    for i, p in enumerate(paths):
+        want = order(_reference_decode_numpy(
+            fms[i], s, 480, 480, prob_thr, iou_thr))
+        got = order(boxes[i][mask[i]])
+        assert len(got) == len(want), (p.name, len(got), len(want))
+        if len(got):
+            np.testing.assert_allclose(got[:, 1:], want[:, 1:], atol=1.0,
+                                        err_msg=p.name)
+            np.testing.assert_allclose(got[:, 0], want[:, 0],
+                                        rtol=score_rtol, err_msg=p.name)
+            max_coord_drift = max(
+                max_coord_drift, float(np.abs(got[:, 1:] - want[:, 1:]).max()))
+            max_score_drift = max(
+                max_score_drift, float(np.abs(got[:, 0] - want[:, 0]).max()))
+        total += len(got)
+    assert total >= len(paths), "trained checkpoints should detect faces"
+    print(f"\n{arch}: {len(paths)} images, {total} boxes, "
+          f"max coord drift {max_coord_drift:.3g}px, "
+          f"max score drift {max_score_drift:.2e}")
 
 
 def test_pretrained_backbone_init():
