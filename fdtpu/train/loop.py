@@ -152,11 +152,20 @@ class Trainer:
         self._device_val: dict[object, tuple] = {}
         self._device_eval_jit: dict[object, callable] = {}
         if config.device_data and getattr(jax, "process_count", lambda: 1)() > 1:
-            raise ValueError(
-                "device_data stages the dataset from this process's host "
-                "memory and is single-controller only; under --multihost "
-                "use the streamed per-process feed"
-            )
+            # multi-process device_data needs the mesh (per-process staging
+            # assembles global arrays over the 'data' axis) and a global
+            # batch splittable across processes
+            if self.mesh is None:
+                raise ValueError(
+                    "device_data under --multihost requires --data-parallel "
+                    "(the dataset is staged sharded over the 'data' mesh "
+                    "axis, each process feeding its local slice)"
+                )
+            if train_loader.batch_size % jax.process_count():
+                raise ValueError(
+                    f"global batch_size {train_loader.batch_size} not "
+                    f"divisible by {jax.process_count()} processes"
+                )
         if config.steps_per_dispatch > 1 or config.device_data:
             self._raw_train_step = make_train_step(
                 module, self.tx, config, augment=augment,
@@ -383,6 +392,8 @@ class Trainer:
         both layouts, and each device permanently holds its ``B/n`` lane
         slice of every batch (no resharding, H2D goes straight to the
         owning device)."""
+        if getattr(jax, "process_count", lambda: 1)() > 1:
+            return self._stage_from_source_multihost(loader)
         src = loader.source
         batch = loader.batch_size
         n = len(src)
@@ -438,15 +449,73 @@ class Trainer:
             n,
         )
 
+    def _stage_from_source_multihost(self, loader):
+        """Per-process ``device_data`` staging (round-4): each process
+        decodes and stages ONLY the rows its local devices own — the same
+        contiguous ``[pid*lb, (pid+1)*lb)`` slice of every global batch the
+        streamed ``BatchLoader.process_shard`` feed yields — and the global
+        ``(num_batches, B, ...)`` resident arrays are assembled with
+        ``jax.make_array_from_process_local_data``. The sharded resident
+        epoch (``_device_epoch_sharded``) is process-count-agnostic, so
+        from here on multihost pods get the zero-host-traffic fast feed
+        instead of falling back to streaming. Batch composition matches the
+        streamed multihost feed exactly (shuffle off)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        src = loader.source
+        batch = loader.batch_size
+        pid, nproc = jax.process_index(), jax.process_count()
+        lb = batch // nproc
+        n = len(src)
+        n_total = ((n + batch - 1) // batch) * batch
+        nb = n_total // batch
+        locs: list[list] = [[], [], []]
+        for start in range(0, n_total, batch):
+            idx = np.minimum(np.arange(start, start + batch), n - 1)
+            idx = idx[pid * lb: (pid + 1) * lb]  # this process's rows only
+            samples = (
+                src.get_batch(idx) if hasattr(src, "get_batch")
+                else [src.get(int(i)) for i in idx]
+            )
+            for i in range(3):
+                locs[i].append(np.stack([s[i] for s in samples]))
+
+        def assemble(chunks: list, dtype=None):
+            local = np.stack(chunks)
+            if dtype is not None:
+                local = local.astype(dtype)
+            spec = P(*([None, "data"] + [None] * (local.ndim - 2)))
+            return jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, spec), local,
+                (nb, batch) + local.shape[2:],
+            )
+
+        sample_mask = np.arange(n_total) < n
+        sm_local = np.ascontiguousarray(
+            sample_mask.reshape(nb, batch)[:, pid * lb: (pid + 1) * lb]
+        )
+        sm = jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, P(None, "data")), sm_local, (nb, batch)
+        )
+        return (
+            assemble(locs[0]),
+            assemble(locs[1], np.float32),
+            assemble(locs[2]),
+            sm,
+            n,
+        )
+
     def _epoch_batches(self, loader, n_real: int) -> int:
         """Batches per resident epoch, matching ``BatchLoader.__len__``:
-        ``epoch_fraction`` then ``drop_last`` truncation (ceil otherwise —
-        the padded tail rows sort last in the epoch permutation, so the
-        final batch is exactly the streamed padded tail)."""
+        ``epoch_fraction`` then ``drop_last``/``process_shard`` truncation
+        (ceil otherwise — the padded tail rows sort last in the epoch
+        permutation, so the final batch is exactly the streamed padded
+        tail)."""
         batch = loader.batch_size
         ef = getattr(loader, "epoch_fraction", 1) or 1
         n_eff = n_real // ef
-        if bool(getattr(loader, "drop_last", False)):
+        if (bool(getattr(loader, "drop_last", False))
+                or getattr(loader, "process_shard", None) is not None):
             return max(1, n_eff // batch)
         return max(1, (n_eff + batch - 1) // batch)
 
