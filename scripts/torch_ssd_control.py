@@ -131,8 +131,19 @@ def _torch_ssd_loss(conf, pred_locs, labels, gt_locs, neg_pos_ratio):
     return (cls + loc) / pos.sum().clamp(min=1)
 
 
+def _iou_xywh(a, b):
+    ix = max(0.0, min(a[1] + a[3], b[1] + b[3]) - max(a[1], b[1]))
+    iy = max(0.0, min(a[2] + a[4], b[2] + b[4]) - max(a[2], b[2]))
+    inter = ix * iy
+    uni = a[3] * a[4] + b[3] * b[4] - inter
+    return inter / uni if uni > 0 else 0.0
+
+
 def _eval_ap(forward_np, val_loader, patch_sizes):
-    """Decode with fdtpu's exact NMS path (jax CPU) + vectorized AP."""
+    """Decode with fdtpu's exact NMS path (jax CPU) + vectorized AP, plus
+    the multi-box diagnostics for round-3 VERDICT #5: precision at the
+    decode threshold (fraction of predictions with IoU > 0.5 to some gt,
+    reference ``ModelMeta.py:207-213`` semantics) and boxes-per-face."""
     import jax
     import jax.numpy as jnp
 
@@ -155,15 +166,26 @@ def _eval_ap(forward_np, val_loader, patch_sizes):
         pm.append(np.asarray(mask)[keep])
         gb.append(batch.boxes[keep])
         gm.append(batch.box_mask[keep])
-    return float(
-        average_precision(
-            np.concatenate(pb), np.concatenate(pm),
-            np.concatenate(gb), np.concatenate(gm),
-        )
-    )
+    pb, pm = np.concatenate(pb), np.concatenate(pm)
+    gb, gm = np.concatenate(gb), np.concatenate(gm)
+    n_pred = n_gt = n_matched = 0
+    for i in range(pb.shape[0]):
+        preds, gts = pb[i][pm[i]], gb[i][gm[i]]
+        n_pred += len(preds)
+        n_gt += len(gts)
+        for p in preds:
+            if any(_iou_xywh(p, g) > 0.5 for g in gts):
+                n_matched += 1
+    return {
+        "ap50": round(float(average_precision(pb, pm, gb, gm)), 4),
+        "precision": round(n_matched / max(n_pred, 1), 4),
+        "boxes_per_face": round(n_pred / max(n_gt, 1), 2),
+        "n_pred": int(n_pred),
+        "n_gt": int(n_gt),
+    }
 
 
-def run_torch(tmp, schedule=False):
+def run_torch(tmp, schedule=False, seed=0):
     import torch
 
     from torch_cpu_baseline import RefEquivalentSSD
@@ -171,7 +193,7 @@ def run_torch(tmp, schedule=False):
     from fdtpu.models import ssd_patch_sizes
 
     patch_sizes = tuple(ssd_patch_sizes((SIZE, SIZE)))
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = RefEquivalentSSD(16, SIZE)
     opt = torch.optim.Adam(model.parameters(), lr=LR)
     # the reference drops lr x0.1 at epoch 40 (ModelMeta{SSD}.py:108-111);
@@ -236,17 +258,18 @@ def run_torch(tmp, schedule=False):
             )
             return apply_priors_t(model(x)).numpy()
 
-    ap = _eval_ap(forward_np, val_loader, patch_sizes)
-    return {
-        "framework": "torch-cpu-control",
-        "ap50": round(ap, 4),
-        "steps": steps,
-        "wall_s": round(time.time() - t0, 1),
-    }
+    res = _eval_ap(forward_np, val_loader, patch_sizes)
+    res.update(
+        framework="torch-cpu-control",
+        seed=seed,
+        steps=steps,
+        wall_s=round(time.time() - t0, 1),
+    )
+    return res
 
 
 def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
-              torch_init=False):
+              torch_init=False, seed=0):
     import jax
 
     # _data() force-sets the cpu platform (it serves the torch arm); build
@@ -272,7 +295,7 @@ def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
         torch_init=torch_init,
     )
     cfg = TrainConfig(
-        learning_rate=LR, max_epochs=EPOCHS, batch_size=BATCH,
+        learning_rate=LR, max_epochs=EPOCHS, batch_size=BATCH, seed=seed,
         box_capacity=8, use_sam=False, visualize_first_batch=False,
         # schedule=False disables the MultiStepLR drop (the torch control
         # trains at constant lr) by pushing the milestone past the run
@@ -301,14 +324,15 @@ def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
             fwd(jnp.asarray(images, jnp.float32) / 255.0)
         )
 
-    ap = _eval_ap(forward_np, val_loader, patch_sizes)
-    return {
-        "framework": "fdtpu",
-        "ap50": round(ap, 4),
-        "steps": int(trainer.state.step),
-        "wall_s": round(time.time() - t0, 1),
-        "platform": jax.default_backend(),
-    }
+    res = _eval_ap(forward_np, val_loader, patch_sizes)
+    res.update(
+        framework="fdtpu",
+        seed=seed,
+        steps=int(trainer.state.step),
+        wall_s=round(time.time() - t0, 1),
+        platform=jax.default_backend(),
+    )
+    return res
 
 
 def main():
@@ -332,6 +356,10 @@ def main():
     ap.add_argument("--schedule", action="store_true",
                     help="(torch arm) step the reference's MultiStepLR@40 "
                          "drop instead of the constant-lr control")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init/dropout seed (torch.manual_seed / TrainConfig "
+                         "seed); the DATA seeds stay fixed so seed sweeps "
+                         "isolate training noise")
     args = ap.parse_args()
     global EPOCHS
     if args.epochs:
@@ -344,12 +372,12 @@ def main():
         res = run_fdtpu(
             tmp, args.platform, dtype=args.dtype,
             schedule=not args.no_schedule, torch_init=args.torch_init,
-            device_data=not args.no_device_data,
+            device_data=not args.no_device_data, seed=args.seed,
         )
         res.update(dtype=args.dtype, schedule=not args.no_schedule,
                    torch_init=args.torch_init)
     else:
-        res = run_torch(tmp, schedule=args.schedule)
+        res = run_torch(tmp, schedule=args.schedule, seed=args.seed)
         res.update(schedule=args.schedule)
     res.update(size=SIZE, n_train=N_TRAIN, n_val=N_VAL, batch=BATCH,
                epochs=EPOCHS, lr=LR)
