@@ -185,7 +185,7 @@ def _eval_ap(forward_np, val_loader, patch_sizes):
     }
 
 
-def run_torch(tmp, schedule=False, seed=0):
+def run_torch(tmp, schedule=False, seed=0, no_dropout=False):
     import torch
 
     from torch_cpu_baseline import RefEquivalentSSD
@@ -195,6 +195,10 @@ def run_torch(tmp, schedule=False, seed=0):
     patch_sizes = tuple(ssd_patch_sizes((SIZE, SIZE)))
     torch.manual_seed(seed)
     model = RefEquivalentSSD(16, SIZE)
+    if no_dropout:  # one-variable bisect arm: remove dropout stochasticity
+        for m in model.modules():
+            if isinstance(m, torch.nn.Dropout2d):
+                m.p = 0.0
     opt = torch.optim.Adam(model.parameters(), lr=LR)
     # the reference drops lr x0.1 at epoch 40 (ModelMeta{SSD}.py:108-111);
     # --schedule makes the control arm faithful to it, default keeps the
@@ -269,7 +273,7 @@ def run_torch(tmp, schedule=False, seed=0):
 
 
 def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
-              torch_init=False, seed=0):
+              torch_init=False, seed=0, no_dropout=False):
     import jax
 
     # _data() force-sets the cpu platform (it serves the torch arm); build
@@ -292,7 +296,7 @@ def run_fdtpu(tmp, platform, dtype="bf16", schedule=True, device_data=True,
     module = SSD(
         filters=16, input_shape=(SIZE, SIZE), patch_sizes=patch_sizes,
         dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
-        torch_init=torch_init,
+        torch_init=torch_init, dropout=0.0 if no_dropout else 0.25,
     )
     cfg = TrainConfig(
         learning_rate=LR, max_epochs=EPOCHS, batch_size=BATCH, seed=seed,
@@ -360,6 +364,9 @@ def main():
                     help="init/dropout seed (torch.manual_seed / TrainConfig "
                          "seed); the DATA seeds stay fixed so seed sweeps "
                          "isolate training noise")
+    ap.add_argument("--no-dropout", action="store_true",
+                    help="bisect arm: dropout 0 in whichever framework runs "
+                         "(isolates the dropout-stream difference)")
     args = ap.parse_args()
     global EPOCHS
     if args.epochs:
@@ -373,12 +380,15 @@ def main():
             tmp, args.platform, dtype=args.dtype,
             schedule=not args.no_schedule, torch_init=args.torch_init,
             device_data=not args.no_device_data, seed=args.seed,
+            no_dropout=args.no_dropout,
         )
         res.update(dtype=args.dtype, schedule=not args.no_schedule,
                    torch_init=args.torch_init)
     else:
-        res = run_torch(tmp, schedule=args.schedule, seed=args.seed)
+        res = run_torch(tmp, schedule=args.schedule, seed=args.seed,
+                        no_dropout=args.no_dropout)
         res.update(schedule=args.schedule)
+    res.update(no_dropout=args.no_dropout)
     res.update(size=SIZE, n_train=N_TRAIN, n_val=N_VAL, batch=BATCH,
                epochs=EPOCHS, lr=LR)
     print(json.dumps(res))
