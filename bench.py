@@ -105,7 +105,10 @@ def main():
         filters=FILTERS, input_shape=(SIZE, SIZE), num_patches=15,
         num_residual_blocks=BLOCKS,
     )
-    config = TrainConfig(use_sam=True, rotate_device=args.rotate_device)
+    # positional_crop: the production Trainer resolves it True for shuffled
+    # feeds (every training entry point shuffles) — bench the same path
+    config = TrainConfig(use_sam=True, rotate_device=args.rotate_device,
+                         positional_crop=True)
     state, tx = create_train_state(module, config, jax.random.PRNGKey(0), 100)
     raw_step = make_train_step(module, tx, config, augment=True, jit=False)
 

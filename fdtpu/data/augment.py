@@ -350,12 +350,22 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels):
     n = noise_sel.shape[0]
     n_sel3 = n + glass_sel.shape[0] + motion_sel.shape[0]
     imgs = imgs.astype(jnp.bfloat16)
-    imgs = jnp.where(
+    lin = jnp.where(
         scalars[:, 0, None, None, None] > 0.5, imgs[:, :, ::-1, :], imgs
     )
-    imgs = imgs * scalars[:, 1, None, None, None].astype(
-        imgs.dtype
-    ) + scalars[:, 2, None, None, None].astype(imgs.dtype)
+    lin = lin * scalars[:, 1, None, None, None].astype(
+        lin.dtype
+    ) + scalars[:, 2, None, None, None].astype(lin.dtype)
+
+    # stay in bf16: the models cast their input to bf16 anyway, and the f32
+    # round-trip is a whole-batch HBM pass (the public jitted augment_batch
+    # restores the float32 API dtype for callers outside the train step).
+    # clip/scale is folded into the SAME whole-batch pass as flip+fma (the
+    # subset rows are re-finalized after their noise/blur and scattered over
+    # it) — one fewer full-batch HBM round-trip than clipping after the
+    # scatter, bit-identical per element.
+    def _finish(x):
+        return jnp.clip(x, 0.0, 255.0) / jnp.bfloat16(255.0)
 
     def _noise_for(shape):
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
@@ -365,7 +375,7 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels):
 
     if n_sel3 <= b:  # disjoint slices of one permutation: fuse the movement
         sel3 = jnp.concatenate([noise_sel, glass_sel, motion_sel])
-        sub = imgs[sel3]
+        sub = lin[sel3]
         sigma = scalars[noise_sel, 3].astype(imgs.dtype)
         noised = sub[:n] + sigma[:, None, None, None] * _noise_for(sub[:n].shape)
         g7 = jnp.zeros((7, 7), jnp.float32).at[1:6, 1:6].set(_gaussian_kernel5())
@@ -375,25 +385,24 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels):
              jax.vmap(_motion_kernel7)(ang)]
         )
         blurred = _depthwise_filter_batch(sub[n:], kerns)
-        imgs = imgs.at[sel3].set(jnp.concatenate([noised, blurred]))
-    else:
-        sub = imgs[noise_sel]
-        sigma = scalars[noise_sel, 3].astype(imgs.dtype)
-        imgs = imgs.at[noise_sel].set(
-            sub + sigma[:, None, None, None] * _noise_for(sub.shape)
+        return _finish(lin).at[sel3].set(
+            _finish(jnp.concatenate([noised, blurred]))
         )
-        imgs = imgs.at[glass_sel].set(
-            _depthwise_filter_batch(imgs[glass_sel], _gaussian_kernel5())
-        )
-        ang = (scalars[motion_sel, 6] + 0.5) * jnp.pi / 16.0
-        kerns = jax.vmap(_motion_kernel7)(ang)
-        imgs = imgs.at[motion_sel].set(
-            _depthwise_filter_batch(imgs[motion_sel], kerns)
-        )
-    # stay in bf16: the models cast their input to bf16 anyway, and the f32
-    # round-trip is a whole-batch HBM pass (the public jitted augment_batch
-    # restores the float32 API dtype for callers outside the train step)
-    return jnp.clip(imgs, 0.0, 255.0) / jnp.bfloat16(255.0)
+    imgs = lin
+    sub = imgs[noise_sel]
+    sigma = scalars[noise_sel, 3].astype(imgs.dtype)
+    imgs = imgs.at[noise_sel].set(
+        sub + sigma[:, None, None, None] * _noise_for(sub.shape)
+    )
+    imgs = imgs.at[glass_sel].set(
+        _depthwise_filter_batch(imgs[glass_sel], _gaussian_kernel5())
+    )
+    ang = (scalars[motion_sel, 6] + 0.5) * jnp.pi / 16.0
+    kerns = jax.vmap(_motion_kernel7)(ang)
+    imgs = imgs.at[motion_sel].set(
+        _depthwise_filter_batch(imgs[motion_sel], kerns)
+    )
+    return _finish(imgs)
 
 
 def _apply_photometric_xla(key, imgs, scalars):
@@ -426,7 +435,8 @@ def _flip_boxes(boxes, masks, do_flip, w):
     )
 
 
-def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False):
+def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False,
+                       positional_crop: bool = False):
     """Batched augmentation with **exact-k subset cropping**: the crop
     resample is the pipeline's dominant cost (scale_and_translate over every
     image cost ~35%% of the whole SAM train step) but fires with p=0.2, so
@@ -438,6 +448,18 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False):
     throughput at batch 128 — the remaining augmentation cost is the
     photometric chain's full-batch HBM passes (round-2 candidate: one fused
     Pallas augmentation kernel).
+
+    ``positional_crop=True`` crops the FIRST ``k`` batch rows instead of a
+    device-sampled random subset, replacing the k-row gather + scatter
+    (expensive on TPU — the round-1 gather findings) with contiguous slice
+    ops. Distributionally identical to the random subset whenever the feed
+    shuffles: both the streamed loader and the resident epochs assign each
+    sample's batch position from a fresh uniform permutation every epoch,
+    so "the first k positions" IS a uniform random k-subset, independent of
+    the photometric/rotate subsets (drawn from device permutations over
+    positions). Only valid for shuffled feeds — with ``shuffle=False`` the
+    same samples would be cropped every epoch, so the Trainer enables it
+    from the loader's shuffle flag and it defaults off here.
 
     ``rotate=True`` additionally applies the reference's Rotate op (p=0.2,
     limit 20 degrees, ``datamodule.py:115``) ON DEVICE via the three-shear
@@ -489,8 +511,6 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False):
 
     kperm, kcrop, kpost = jax.random.split(key, 3)
     k = round(P_CROP * b)
-    perm = jax.random.permutation(kperm, b)
-    sel = perm[:k]
 
     use_pallas = os.environ.get("FDTPU_PALLAS_AUGMENT") == "1"
     # The batch lives in bf16 end to end (uint8 pixel range is exact in bf16;
@@ -504,16 +524,25 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False):
     imgs = imgs.astype(jnp.float32 if use_pallas else jnp.bfloat16)
     h, w = imgs.shape[1], imgs.shape[2]
     crop_keys = jax.random.split(kcrop, k)
-    sub_i, sub_b, sub_m = imgs[sel], boxes[sel], masks[sel]
+    if positional_crop:
+        sub_i, sub_b, sub_m = imgs[:k], boxes[:k], masks[:k]
+    else:
+        sel = jax.random.permutation(kperm, b)[:k]
+        sub_i, sub_b, sub_m = imgs[sel], boxes[sel], masks[sel]
 
     def crop_one(ck, im, bx, mk):
         cx, cy, cw, ch = _sample_crop(jax.random.split(ck, 5), h, w, gate=False)
         return _apply_crop(im, bx, mk, cx, cy, cw, ch)
 
     ci, cb, cm = jax.vmap(crop_one)(crop_keys, sub_i, sub_b, sub_m)
-    imgs = imgs.at[sel].set(ci)
-    boxes = boxes.at[sel].set(cb)
-    masks = masks.at[sel].set(cm)
+    if positional_crop:
+        imgs = imgs.at[:k].set(ci)       # contiguous dynamic-update-slice,
+        boxes = boxes.at[:k].set(cb)     # no scatter
+        masks = masks.at[:k].set(cm)
+    else:
+        imgs = imgs.at[sel].set(ci)
+        boxes = boxes.at[sel].set(cb)
+        masks = masks.at[sel].set(cm)
 
     if rotate:
         from fdtpu.kernels import pallas_nms_available

@@ -55,6 +55,17 @@ class Trainer:
         self.logger = MetricLogger(config.log_path)
         if config.nan_check:
             jax.config.update("jax_debug_nans", True)
+        if config.positional_crop is None:
+            # auto: positional crop is distribution-identical exactly when
+            # batch composition re-randomizes per epoch (see
+            # augment_batch_fast); resolve from the feed's shuffle flag.
+            import dataclasses
+
+            config = dataclasses.replace(
+                config,
+                positional_crop=bool(getattr(train_loader, "shuffle", False)),
+            )
+            self.config = config
 
         rng = jax.random.PRNGKey(config.seed)
         self.state, self.tx = create_train_state(

@@ -50,10 +50,11 @@ from fdtpu.utils.config import TrainConfig
 
 
 def _prepare_inputs(images, boxes, box_mask, rng, augment: bool,
-                    rotate: bool = False):
+                    rotate: bool = False, positional_crop: bool = False):
     """uint8 batch -> float [0,1] batch (+ augmented boxes)."""
     if augment:
-        return augment_batch_fast(rng, images, boxes, box_mask, rotate=rotate)
+        return augment_batch_fast(rng, images, boxes, box_mask, rotate=rotate,
+                                  positional_crop=positional_crop)
     imgs = images.astype(jnp.float32) / 255.0
     return imgs, boxes, box_mask & (boxes[..., 3] * boxes[..., 4] >= 10.0)
 
@@ -239,6 +240,7 @@ def make_train_step(
         imgs, bx, bm = _prepare_inputs(
             images, boxes, box_mask, aug_rng, augment,
             rotate=config.rotate_device,
+            positional_crop=bool(config.positional_crop),
         )
         enc, gt_locs = _encode_targets(module, bx, bm, image_size)
 

@@ -96,6 +96,11 @@ class TrainConfig:
     # time. Frees the single host core for JPEG decode on real datasets;
     # pair with WIDERFaceDataSource(rotate_prob=0.0).
     rotate_device: bool = False
+    # Crop the FIRST k batch rows instead of a device-sampled random subset
+    # (saves the crop's k-row gather+scatter; distribution-identical when
+    # the feed shuffles — see augment_batch_fast). None = auto: the Trainer
+    # enables it iff the train loader shuffles.
+    positional_crop: bool | None = None
     # Run N train steps per device dispatch (lax.scan over stacked batches).
     # Amortizes per-call dispatch latency — essential through the axon TPU
     # tunnel (~1 s/call caps the per-batch loop at ~batch_size img/s

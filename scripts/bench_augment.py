@@ -77,6 +77,16 @@ def main():
     results["full_ms"] = round(
         time_scan(full, (key0, imgs0), args.scan) * 1e3, 3)
 
+    # full chain, positional crop (first-k slices instead of gather/scatter)
+    def full_pos(c):
+        key, imgs = c
+        out_i, out_b, out_m = A.augment_batch_fast(
+            key, imgs, boxes0, masks0, positional_crop=True)
+        return (bump(key), imgs + 1e-7 * out_i[0, 0, 0, 0].astype(imgs.dtype)), 0
+
+    results["full_positional_ms"] = round(
+        time_scan(full_pos, (key0, imgs0), args.scan) * 1e3, 3)
+
     # identity baseline (u8->bf16 cast + /255 clip only)
     def ident(c):
         key, imgs = c
@@ -138,6 +148,42 @@ def main():
 
     results["photometric_ms"] = round(
         time_scan(photo, (key0, imgs0), args.scan) * 1e3, 3)
+
+    # photometric control with the clip/scale as its own whole-batch pass
+    # AFTER the subset scatter (the pre-round-4 order), to price the fused
+    # finish in _apply_photometric_xla_subset
+    def photo_unfused(c):
+        key, imgs = c
+        imgs16 = imgs.astype(jnp.bfloat16)
+        scalars, seeds, sels = A._sample_photometric_params_exact_k(key, B)
+        noise_sel, glass_sel, motion_sel = sels
+        n = noise_sel.shape[0]
+        kf = jax.random.fold_in(key, 3)
+        out = jnp.where(
+            scalars[:, 0, None, None, None] > 0.5, imgs16[:, :, ::-1, :],
+            imgs16)
+        out = out * scalars[:, 1, None, None, None].astype(out.dtype) \
+            + scalars[:, 2, None, None, None].astype(out.dtype)
+        sel3 = jnp.concatenate([noise_sel, glass_sel, motion_sel])
+        sub = out[sel3]
+        sigma = scalars[noise_sel, 3].astype(out.dtype)
+        seed = jax.random.randint(kf, (), 0, 2**31 - 1)
+        noise = jax.random.normal(
+            jax.random.key(seed, impl="rbg"), sub[:n].shape, dtype=out.dtype)
+        noised = sub[:n] + sigma[:, None, None, None] * noise
+        g7 = jnp.zeros((7, 7), jnp.float32).at[1:6, 1:6].set(
+            A._gaussian_kernel5())
+        ang = (scalars[motion_sel, 6] + 0.5) * jnp.pi / 16.0
+        kerns = jnp.concatenate([
+            jnp.broadcast_to(g7, (glass_sel.shape[0], 7, 7)),
+            jax.vmap(A._motion_kernel7)(ang)])
+        blurred = A._depthwise_filter_batch(sub[n:], kerns)
+        out = out.at[sel3].set(jnp.concatenate([noised, blurred]))
+        out = jnp.clip(out, 0.0, 255.0) / jnp.bfloat16(255.0)
+        return (bump(key), imgs + 1e-7 * out[0, 0, 0, 0].astype(imgs.dtype)), 0
+
+    results["photometric_unfused_ms"] = round(
+        time_scan(photo_unfused, (key0, imgs0), args.scan) * 1e3, 3)
 
     # flip + fma only (whole batch)
     def flipfma(c):

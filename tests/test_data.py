@@ -123,6 +123,87 @@ def test_photometric_subset_matches_whole_batch_twin():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
 
 
+def test_positional_crop_first_k_rows_only():
+    """``positional_crop=True`` must crop exactly the first ``round(P_CROP*B)``
+    rows: later rows keep their box w/h (flip/photometric never rescale),
+    while the cropped slice rescales at least one box. Both paths share all
+    other semantics (shapes, clipping, rounding)."""
+    from fdtpu.data.augment import P_CROP, augment_batch_fast
+
+    b, k = 32, round(0.2 * 32)
+    assert k == round(P_CROP * b)
+    key = jax.random.PRNGKey(11)
+    imgs = jax.random.uniform(key, (b, 64, 64, 3), maxval=255.0)
+    boxes = jnp.tile(jnp.asarray([[1.0, 10, 12, 20, 24]], jnp.float32), (b, 1))[
+        :, None, :
+    ]
+    masks = jnp.ones((b, 1), bool)
+    oi, ob, om = augment_batch_fast(
+        jax.random.PRNGKey(5), imgs, boxes, masks, positional_crop=True
+    )
+    assert oi.shape == (b, 64, 64, 3)
+    ob, om = np.asarray(ob), np.asarray(om)
+    tail = ob[k:, 0]
+    # un-cropped rows: w/h untouched (flip moves x only; photometric is
+    # pixel-wise)
+    np.testing.assert_array_equal(tail[:, 3], 20.0)
+    np.testing.assert_array_equal(tail[:, 4], 24.0)
+    head = ob[:k, 0][om[:k, 0]]
+    assert (head[:, 3] != 20.0).any() or (head[:, 4] != 24.0).any()
+
+
+def test_photometric_fused_clip_bit_identical():
+    """The round-4 fused finish (clip/scale inside the flip+fma whole-batch
+    pass, subset rows re-finalized before the scatter) must be bit-identical
+    to the pre-round-4 order (clip as its own pass after the scatter)."""
+    from fdtpu.data.augment import (
+        _apply_photometric_xla_subset,
+        _depthwise_filter_batch,
+        _gaussian_kernel5,
+        _motion_kernel7,
+        _sample_photometric_params_exact_k,
+    )
+
+    b = 32
+    key = jax.random.PRNGKey(3)
+    imgs = jax.random.uniform(key, (b, 32, 32, 3), maxval=300.0)  # force clip
+    scalars, _, sels = _sample_photometric_params_exact_k(
+        jax.random.PRNGKey(1), b
+    )
+    kf = jax.random.PRNGKey(2)
+    got = _apply_photometric_xla_subset(kf, imgs, scalars, sels)
+
+    # the old order, inline
+    noise_sel, glass_sel, motion_sel = sels
+    n = noise_sel.shape[0]
+    out = imgs.astype(jnp.bfloat16)
+    out = jnp.where(
+        scalars[:, 0, None, None, None] > 0.5, out[:, :, ::-1, :], out
+    )
+    out = out * scalars[:, 1, None, None, None].astype(out.dtype) + scalars[
+        :, 2, None, None, None
+    ].astype(out.dtype)
+    sel3 = jnp.concatenate([noise_sel, glass_sel, motion_sel])
+    sub = out[sel3]
+    sigma = scalars[noise_sel, 3].astype(out.dtype)
+    seed = jax.random.randint(kf, (), 0, 2**31 - 1)
+    noise = jax.random.normal(
+        jax.random.key(seed, impl="rbg"), sub[:n].shape, dtype=out.dtype
+    )
+    noised = sub[:n] + sigma[:, None, None, None] * noise
+    g7 = jnp.zeros((7, 7), jnp.float32).at[1:6, 1:6].set(_gaussian_kernel5())
+    ang = (scalars[motion_sel, 6] + 0.5) * jnp.pi / 16.0
+    kerns = jnp.concatenate(
+        [jnp.broadcast_to(g7, (glass_sel.shape[0], 7, 7)),
+         jax.vmap(_motion_kernel7)(ang)]
+    )
+    blurred = _depthwise_filter_batch(sub[n:], kerns)
+    out = out.at[sel3].set(jnp.concatenate([noised, blurred]))
+    want = jnp.clip(out, 0.0, 255.0) / jnp.bfloat16(255.0)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
 def test_photometric_exact_k_gate_counts():
     """Exact-k sampler: each expensive gate selects exactly round(p*B)
     members, and the scalar table's gate columns agree with the index sets."""

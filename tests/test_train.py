@@ -282,6 +282,33 @@ def test_trainer_fit_and_resume(loaders, tmp_path):
     assert (tmp_path / "logs/out.jsonl").exists()
 
 
+def test_trainer_resolves_positional_crop_from_shuffle(loaders, tmp_path):
+    """``positional_crop=None`` (the default) must resolve to the train
+    loader's shuffle flag: first-k cropping is distribution-identical only
+    when batch composition re-randomizes per epoch."""
+    train_loader, val_loader = loaders
+    module = _small_poolresnet()
+    shuffled = BatchLoader(
+        train_loader.source, batch_size=4, drop_last=True, shuffle=True
+    )
+    t1 = Trainer(
+        module, _config(checkpoint_dir=str(tmp_path / "a")), shuffled,
+        val_loader,
+    )
+    assert t1.config.positional_crop is True
+    t2 = Trainer(
+        module, _config(checkpoint_dir=str(tmp_path / "b")), train_loader,
+        val_loader,
+    )
+    assert t2.config.positional_crop is False
+    t3 = Trainer(
+        module,
+        _config(checkpoint_dir=str(tmp_path / "c"), positional_crop=False),
+        shuffled, val_loader,
+    )
+    assert t3.config.positional_crop is False
+
+
 def test_steps_per_dispatch_matches_per_batch_loop(loaders, tmp_path):
     """The scanned multi-step dispatch must reproduce the per-batch loop:
     same data order + same rng folding (by state.step) => same epoch loss
