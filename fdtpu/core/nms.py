@@ -26,6 +26,13 @@ from fdtpu.core.priors import decode_ssd
 
 DEFAULT_CAPACITY = 128
 
+# Candidate-count ceiling above which nms_matrix's (N, N) IoU matrix is
+# unaffordable (B x N^2 f32 OOM'd the v5e at 2,125 priors / b128). The matrix
+# path is NOT a default anywhere — measured slower than both serial paths on
+# TPU and CPU at every scale (BASELINE round-4 NMS section); it remains the
+# exact, GSPMD-partitionable alternative (no pallas_call, no pre-truncation).
+MATRIX_NMS_MAX_CANDIDATES = 1024
+
 
 def nms(
     candidates: jnp.ndarray,
@@ -80,6 +87,94 @@ def nms(
         boxes = jnp.pad(boxes, ((0, capacity - k), (0, 0)))
         keep = jnp.pad(keep, (0, capacity - k))
     return boxes, keep
+
+
+def nms_matrix(
+    candidates: jnp.ndarray,
+    probability_threshold: float,
+    iou_threshold: float,
+    capacity: int = DEFAULT_CAPACITY,
+    round_boxes: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact greedy NMS resolved as a parallel fixed point (no serial loop).
+
+    Same contract and *exact torchvision semantics* as :func:`nms` — but
+    with NO top-``capacity`` pre-truncation (like the Pallas kernel, it
+    considers ALL above-threshold candidates, so it stays exact under
+    capacity saturation) and no O(capacity) sequential suppression loop.
+
+    Why it is exact: over score-sorted candidates the greedy keep set is
+    the unique solution of ``K_i = valid_i AND NOT any_{j<i}(K_j AND
+    IoU(j, i) > thr)`` (induction over sorted position). The Jacobi
+    iteration ``K <- F(K)`` from ``K0 = valid`` is antitone, and
+    ``K^t_i = K*_i`` for every ``t >= i + 1`` (same induction), so ``N``
+    iterations guarantee the greedy answer; in practice suppression
+    dependency chains are 2-5 deep and the ``while_loop`` exits on the
+    first consecutive-equality, each iteration being one ``(N,)x(N, N)``
+    masked matvec.
+
+    **Measured and rejected as a default** (BASELINE.md round-4 NMS
+    section): the serial suppression loops were hypothesized to floor the
+    NMS cost, but on both TPU and CPU this path loses to them at every
+    candidate count (TPU b128: 1.6 vs 1.3 ms at 100 priors, 11.5 vs 1.3 ms
+    at 1,024; OOM at 2,125) — the ``(N, N)`` IoU materialization swamps
+    any loop-latency saving, and the serial paths' grid-scale cost turned
+    out to be floor-bound, not loop-bound. Kept (with tests) as the exact
+    alternative that is also GSPMD-partitionable (pure XLA, no
+    ``pallas_call``) and never pre-truncates, should either property ever
+    be needed under batch sharding.
+
+    Replaces the same reference op (``torchvision.ops.nms``,
+    ``/root/reference/datasets/utils.py:164``). Unbatched; vmap over batch
+    (vmapped ``while_loop`` iterates until the slowest image converges).
+    """
+    n = candidates.shape[0]
+    conf = candidates[:, 0]
+    valid = conf > probability_threshold  # strict >, utils.py:111
+    scores = jnp.where(valid, conf, -jnp.inf)
+
+    # stable descending sort over ALL candidates: torch's stable sort keeps
+    # the lowest original index first among equal scores (tie-break)
+    order = jnp.argsort(-scores, stable=True)
+    s_scores = scores[order]
+    v = s_scores > -jnp.inf
+    xyxy = xywh_to_xyxy(candidates[order][:, 1:5])
+    if round_boxes:
+        xyxy = jnp.round(xyxy)  # utils.py:162 rounds pre-NMS
+    iou = box_iou(xyxy, xyxy)
+
+    # sup[j, i]: j (higher score / earlier sorted) suppresses i when kept
+    pos = jnp.arange(n)
+    supf = (
+        (iou > iou_threshold) & (pos[:, None] < pos[None, :])
+    ).astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    def body(state):
+        _, keep, t = state
+        # suppressed_i = any_j keep_j & sup[j, i]; 0/1 f32 sums are exact
+        new = jnp.where(keep @ supf >= 0.5, 0.0, vf)
+        return keep, new, t + 1
+
+    def cond(state):
+        prev, keep, t = state
+        return jnp.logical_and(t < n, jnp.any(prev != keep))
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (-jnp.ones((n,), jnp.float32), vf, jnp.int32(0))
+    )
+    kept = keep > 0.5
+
+    rows = jnp.concatenate([s_scores[:, None], xyxy_to_xywh(xyxy)], axis=-1)
+    rows = jnp.where(kept[:, None], rows, 0.0)  # also clears -inf scores
+    # compact kept rows to the front, preserving descending-score order:
+    # stable argsort of (not kept) lists kept indices first, in order
+    sel = jnp.argsort(jnp.logical_not(kept), stable=True)[:capacity]
+    boxes, mask = rows[sel], kept[sel]
+    if capacity > n:
+        boxes = jnp.pad(boxes, ((0, capacity - n), (0, 0)))
+        mask = jnp.pad(mask, (0, capacity - n))
+    return boxes, mask
 
 
 def decode_filter_nms(

@@ -53,7 +53,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fdtpu.core.nms import ssd_output_filter_nms
+    from fdtpu.core.nms import nms, nms_matrix
     from fdtpu.kernels import (
         pallas_decode_filter_nms_batch,
         ssd_output_decode_tables,
@@ -76,22 +76,44 @@ def main():
             )
             return c + 1e-7 * b[0, 0, 0], jnp.sum(m)
 
+        # the two XLA arms are called explicitly (ssd_output_filter_nms now
+        # auto-routes small candidate counts to the matrix path; the bench
+        # wants each implementation on its own)
+        sx = jnp.asarray(
+            [1.0, args.size, args.size, args.size, args.size], jnp.float32)
+
         def xla_once(c):
             b, m = jax.vmap(
-                lambda o: ssd_output_filter_nms(
-                    o, (args.size, args.size), 0.5, 0.5, args.capacity
-                )
-            )(c)
+                lambda o: nms(o * sx, 0.5, 0.5, args.capacity))(c)
+            return c + 1e-7 * b[0, 0, 0], jnp.sum(m)
+
+        def matrix_once(c):
+            b, m = jax.vmap(
+                lambda o: nms_matrix(o * sx, 0.5, 0.5, args.capacity))(c)
             return c + 1e-7 * b[0, 0, 0], jnp.sum(m)
 
         dt_p = time_scan(pallas_once, out, args.scan)
         dt_x = time_scan(xla_once, out, args.scan)
+        # the (B, N, N) IoU tensor makes the matrix arm infeasible at full
+        # SSD-480 scale (128 x 4774^2 f32 > HBM); measure it where it is a
+        # deployment candidate
+        if n_priors <= 2200:
+            dt_m = time_scan(matrix_once, out, args.scan)
+            results[f"{label}_matrix_ms"] = round(dt_m * 1e3, 3)
+            # matrix vs pallas: both exact-greedy — compacted rows must match
+            bm_, mm_ = jax.vmap(
+                lambda o: nms_matrix(o * sx, 0.5, 0.5, args.capacity))(out)
+            bp_, mp_ = pallas_decode_filter_nms_batch(out, tables, 0.5, 0.5,
+                                                      args.capacity)
+            bm_, mm_, bp_, mp_ = map(np.asarray, (bm_, mm_, bp_, mp_))
+            results[f"{label}_matrix_agrees_pallas"] = all(
+                bm_[i][mm_[i]].shape == bp_[i][mp_[i]].shape
+                and np.allclose(bm_[i][mm_[i]], bp_[i][mp_[i]], atol=1e-3)
+                for i in range(bm_.shape[0])
+            )
         bp, mp = pallas_decode_filter_nms_batch(out, tables, 0.5, 0.5,
                                                 args.capacity)
-        bx, mx = jax.vmap(
-            lambda o: ssd_output_filter_nms(o, (args.size, args.size), 0.5,
-                                            0.5, args.capacity)
-        )(out)
+        bx, mx = jax.vmap(lambda o: nms(o * sx, 0.5, 0.5, args.capacity))(out)
         # compare the compacted kept rows (the XLA mask keeps holes over its
         # score-sorted candidates; the kernel compacts winners)
         bp, mp, bx, mx = map(np.asarray, (bp, mp, bx, mx))

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from fdtpu.core import nms as _nms
+from fdtpu.core.nms import nms_matrix
 
 # jit once (thresholds traced, capacity static) so trial loops don't re-trace
 nms = jax.jit(_nms, static_argnums=(3, 4))
@@ -97,6 +98,76 @@ def test_nms_identical_boxes_suppressed():
     out, keep = nms(jnp.asarray(cand), 0.5, 0.5)
     out = np.asarray(out)[np.asarray(keep)]
     assert out.shape[0] == 1 and out[0, 0] == np.float32(0.9)
+
+
+def test_nms_matrix_matches_serial_sparse(rng):
+    """Below capacity saturation the matrix fixed-point path must reproduce
+    the serial-greedy kept set bit-for-bit (compacted rows; the serial path
+    leaves holes at suppressed slots, the matrix path compacts winners like
+    the Pallas kernel)."""
+    fm = jax.jit(nms_matrix, static_argnums=(3, 4))
+    for trial in range(10):
+        cand = _random_candidates(rng, 60)
+        a_b, a_m = map(np.asarray, nms(jnp.asarray(cand), 0.3, 0.4, capacity=64))
+        b_b, b_m = map(np.asarray, fm(jnp.asarray(cand), 0.3, 0.4, 64, True))
+        np.testing.assert_array_equal(a_b[a_m], b_b[b_m])
+        k = int(b_m.sum())
+        assert b_m[:k].all() and not b_m[k:].any()  # compacted
+
+
+def test_nms_matrix_matches_oracle_saturated(rng):
+    """Above capacity saturation the matrix path must stay exact (it never
+    pre-truncates — same property as the Pallas kernel, unlike nms())."""
+    fm = jax.jit(nms_matrix, static_argnums=(3, 4))
+    for trial in range(5):
+        cand = _random_candidates(rng, 200)
+        cand[:, 0] = rng.uniform(0.4, 1.0, 200).astype(np.float32)
+        b_b, b_m = map(np.asarray, fm(jnp.asarray(cand), 0.3, 0.4, 128, True))
+        got = b_b[b_m]
+        sel = cand[:, 0] > 0.3
+        boxes = cand[sel]
+        xyxy = np.round(
+            np.stack(
+                [boxes[:, 1], boxes[:, 2], boxes[:, 1] + boxes[:, 3],
+                 boxes[:, 2] + boxes[:, 4]], axis=1))
+        keep_idx = _nms_oracle(xyxy, boxes[:, 0], 0.4)
+        want = boxes[keep_idx, 0]
+        want = want[np.argsort(-want, kind="stable")][: len(got)]
+        np.testing.assert_array_equal(got[:, 0], want)
+        assert len(got) == min(len(keep_idx), 128)
+
+
+def test_nms_matrix_tie_break_and_empty():
+    cand = np.tile(np.array([[0.9, 10, 10, 50, 50]], dtype=np.float32), (5, 1))
+    out, keep = nms_matrix(jnp.asarray(cand), 0.5, 0.5)
+    assert int(np.asarray(keep).sum()) == 1
+    cand[:, 0] = 0.1
+    out, keep = nms_matrix(jnp.asarray(cand), 0.5, 0.5)
+    assert not bool(np.asarray(keep).any())
+
+
+def test_nms_matrix_matches_pallas_kernel(rng):
+    """nms_matrix must agree with the fused Pallas kernel (interpret mode)
+    on sparse AND saturated workloads — the two exact-greedy implementations
+    of the same semantics (neither pre-truncates, both compact winners)."""
+    from fdtpu.core.grid import decode_grid
+    from fdtpu.kernels import grid_decode_tables, pallas_decode_filter_nms_batch
+
+    s, img = 15, (480, 480)
+    fms = rng.uniform(0, 1, size=(4, s, s, 5)).astype(np.float32)
+    fms[..., 0] = rng.uniform(0, 1, size=(4, s, s)) ** 2  # mixed density
+    got_b, got_m = jax.vmap(
+        lambda o: nms_matrix(decode_grid(o, s, img), 0.5, 0.5, 64)
+    )(jnp.asarray(fms))
+    tables = grid_decode_tables(s, img)
+    want_b, want_m = pallas_decode_filter_nms_batch(
+        jnp.asarray(fms).reshape(4, -1, 5), tables, 0.5, 0.5, 64,
+        interpret=True)
+    got_b, got_m, want_b, want_m = map(
+        np.asarray, (got_b, got_m, want_b, want_m))
+    for i in range(4):
+        np.testing.assert_allclose(
+            got_b[i][got_m[i]], want_b[i][want_m[i]], atol=1e-5)
 
 
 def test_nms_batched_vmap(rng):
