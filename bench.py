@@ -95,10 +95,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fdtpu.core.nms import decode_filter_nms
     from fdtpu.models import PoolResnet
     from fdtpu.train import create_train_state
-    from fdtpu.train.step import make_train_step
+    from fdtpu.train.step import _decode_predictions, make_train_step
     from fdtpu.utils.config import TrainConfig
 
     module = PoolResnet(
@@ -145,17 +144,17 @@ def main():
     )
     assert np.isfinite(jax.device_get(holder["losses"])).all()
 
-    # -- inference: forward + fused decode/filter/NMS, scanned on device --
+    # -- inference: forward + fused decode/filter/NMS, scanned on device.
+    # Decode through the PRODUCTION helper (fdtpu/train/step.py) so the bench
+    # measures the shipped path: the Pallas fused decode+filter+NMS batch
+    # kernel on TPU, the vmapped XLA twin elsewhere.
     variables = {"params": holder["st"].params}
     imgs_f = images.astype(jnp.float32) / 255.0
-    grid = module.grid_size()
 
     def infer_many(x):
         def body(c, _):
             out = module.apply(variables, c, train=False)
-            b, m = jax.vmap(
-                lambda o: decode_filter_nms(o, grid, (SIZE, SIZE), 0.5, 0.5, 64)
-            )(out)
+            b, m = _decode_predictions(module, out, (SIZE, SIZE), 0.5, 0.5, 64)
             # feed a scalar back so iterations are serialized
             c2 = c + jnp.float32(1e-7) * jnp.sum(b[:, 0, 0])
             return c2, jnp.sum(m)
