@@ -134,7 +134,12 @@ def main():
             loss_fn = lambda p: _loss_and_out(
                 mod, p, {}, c, enc, None, key, True, 10, sample_mask)[0]
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            return chain(c, loss), loss
+            # Keep the backward LIVE: chain a scalar from every grad leaf —
+            # chaining only the loss lets XLA dead-code-eliminate the whole
+            # backward (first run of this probe measured fwd_bwd == fwd).
+            gsum = sum(g.reshape(-1)[0].astype(jnp.float32)
+                       for g in jax.tree_util.tree_leaves(grads))
+            return chain(c, loss + 1e-7 * gsum), loss
         return body
 
     results["fwd_bwd_ms"] = round(
