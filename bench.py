@@ -86,6 +86,10 @@ def main():
                          "step (BASELINE.md end-to-end matrix row); default "
                          "off = the faithful host-rotation-off-hot-path "
                          "headline the driver records")
+    ap.add_argument("--no-fast-stem", action="store_true",
+                    help="disable the two-stage stem lowering (same math as "
+                         "the plain k10/s8 conv, measured ~8x faster on v5e;"
+                         " default on, as in the production entry points)")
     args = ap.parse_args()
 
     from fdtpu.utils.cache import enable_compilation_cache
@@ -102,7 +106,7 @@ def main():
 
     module = PoolResnet(
         filters=FILTERS, input_shape=(SIZE, SIZE), num_patches=15,
-        num_residual_blocks=BLOCKS,
+        num_residual_blocks=BLOCKS, fast_stem=not args.no_fast_stem,
     )
     # positional_crop: the production Trainer resolves it True for shuffled
     # feeds (every training entry point shuffles) — bench the same path

@@ -251,6 +251,7 @@ def build_model(name: str, config) -> Any:
             input_stride=config.input_stride,
             output_kernel_size=config.output_kernel_size,
             output_padding=config.output_padding,
+            fast_stem=config.fast_stem,
             **common,
         )
     if name == "separable":
@@ -258,6 +259,7 @@ def build_model(name: str, config) -> Any:
             filters=config.filters,
             num_patches=config.num_patches,
             num_residual_blocks=config.num_residual_blocks,
+            fast_stem=config.fast_stem,
             **common,
         )
     if name == "mobilenetv3":

@@ -69,6 +69,74 @@ class Dropout2d(nn.Module):
         )
 
 
+class TwoStageStemConv(nn.Module):
+    """Two-stage lowering of a large-stride stem convolution.
+
+    The reference's stem (``/root/reference/models/PoolResnet.py:62-67``,
+    k=10 stride=8, 3-channel input) has a ``K = k*k*cin = 300`` contraction
+    with a 3-wide channel minor dim — XLA's conv emitter measures ~6% MFU on
+    v5e (BASELINE.md round-4 forward decomposition: 1.3-1.7 ms/batch vs a
+    ~0.25 ms HBM roofline at b128/320px). Splitting the 2D conv into
+
+    1. a ``1 x k`` stride ``(1, s)`` conv whose kernel is ``k*cin`` identity
+       taps — pure data formatting that gathers each width-patch into
+       channels, giving a ``(B, H, W_out, k*cin)`` tensor, then
+    2. a ``k x 1`` stride ``(s, 1)`` conv with the real weights reshaped to
+       ``(k, 1, k*cin, features)``
+
+    computes the SAME multiply-accumulate set (stage 2's contraction is the
+    full ``k*k*cin = 300``) but with a 30-wide channel minor dim, which the
+    TPU emitter handles ~8x faster: measured 0.65 ms vs 5.16 ms per b128
+    batch in isolation (scripts/bench_stem_arms.py; the explicit
+    space-to-depth rearrangement and a zero-padded 16x16 kernel were both
+    built, measured slower, and rejected — see BASELINE.md). Outputs equal
+    the plain conv up to summation order (bf16 rounding; XLA leaves conv
+    reduction order unspecified anyway).
+
+    Param tree is identical to ``nn.Conv`` (``kernel`` HWIO + ``bias``, same
+    default inits), so instantiating it with ``name="Conv_0"`` keeps full
+    checkpoint compatibility with the plain-stem model.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+
+        # Stage 1: width-patch expansion. w1[0, j, c, j*cin + c] = 1 —
+        # channel-minor order matches kernel.reshape(k, k*cin, f) below.
+        w1 = jnp.eye(k * cin, dtype=x.dtype).reshape(k, cin, k * cin)[None]
+        z = jax.lax.conv_general_dilated(
+            x, w1, (1, s), [(0, 0), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # Stage 2: the real contraction, K = k*k*cin with a k*cin minor dim.
+        w2 = kernel.reshape(k, 1, k * cin, self.features)
+        y = jax.lax.conv_general_dilated(
+            z, w2, (s, 1), [(p, p), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
 class ResidualBlock(nn.Module):
     """The reference's shared residual block shape
     (``/root/reference/models/Resnet.py:10-40`` /

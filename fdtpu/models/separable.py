@@ -12,7 +12,9 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from fdtpu.models.layers import Dropout2d, Dtype, SeparableResidualBlock
+from fdtpu.models.layers import (
+    Dropout2d, Dtype, SeparableResidualBlock, TwoStageStemConv,
+)
 
 
 class SeparableCNN(nn.Module):
@@ -29,6 +31,9 @@ class SeparableCNN(nn.Module):
     dropout: float = 0.25  # block Dropout2d rate (reference hardcodes 0.25)
     head_dropout: float = 0.5  # pre-head Dropout2d (e.g. PoolResnet.py:69)
     dtype: Dtype = jnp.bfloat16
+    # Two-stage stem lowering, checkpoint-compatible (see PoolResnet /
+    # fdtpu/models/layers.py TwoStageStemConv).
+    fast_stem: bool = False
 
     def grid_size(self) -> int:
         pad = self.input_kernel_size - self.input_stride
@@ -44,13 +49,23 @@ class SeparableCNN(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = self.input_kernel_size - self.input_stride
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.filters,
-            (self.input_kernel_size, self.input_kernel_size),
-            strides=self.input_stride,
-            padding=pad,
-            dtype=self.dtype,
-        )(x)
+        if self.fast_stem:
+            x = TwoStageStemConv(
+                self.filters,
+                kernel_size=self.input_kernel_size,
+                stride=self.input_stride,
+                padding=pad,
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.filters,
+                (self.input_kernel_size, self.input_kernel_size),
+                strides=self.input_stride,
+                padding=pad,
+                dtype=self.dtype,
+            )(x)
         for _ in range(self.num_residual_blocks):
             x = SeparableResidualBlock(
                 self.filters, pool_until=self.num_patches,
@@ -62,6 +77,7 @@ class SeparableCNN(nn.Module):
             (self.output_kernel_size, self.output_kernel_size),
             padding=self.output_padding,
             dtype=self.dtype,
+            name="Conv_1",  # pinned: auto-numbering differs under fast_stem
         )(x)
         return nn.sigmoid(x.astype(jnp.float32))
 

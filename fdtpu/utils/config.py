@@ -34,6 +34,11 @@ class DetectorConfig:
     output_kernel_size: int = 6
     output_padding: int = 0
     dtype: str = "bfloat16"  # compute dtype; params stay float32
+    # Two-stage stem (PoolResnet/SeparableCNN): same stem dot products
+    # lowered as 1xk identity expansion + kx1 conv so the channel minor dim
+    # is k*cin instead of cin (~8x faster stem on v5e). Checkpoint-compatible
+    # both ways (fdtpu/models/layers.py TwoStageStemConv).
+    fast_stem: bool = False
 
     @property
     def image_size(self) -> Tuple[int, int]:

@@ -48,6 +48,50 @@ def test_poolresnet_320_grid15():
     assert _fwd(m, 320).shape == (1, 15, 15, 5)
 
 
+def test_poolresnet_fast_stem_matches_plain():
+    """The two-stage stem (TwoStageStemConv) is the same dot-product set as
+    the plain k10/s8 stem — identical param tree, outputs equal up to
+    summation-order rounding. Checkpoints must move freely between modes."""
+    kw = dict(input_shape=(320, 320), num_patches=15, filters=8,
+              num_residual_blocks=3)
+    plain = PoolResnet(**kw)
+    fast = PoolResnet(fast_stem=True, **kw)
+    x = jax.random.uniform(KEY, (2, 320, 320, 3), jnp.float32)
+    p_plain = plain.init(KEY, x[:1])["params"]
+    p_fast = fast.init(KEY, x[:1])["params"]
+    assert jax.tree_util.tree_structure(p_plain) == \
+        jax.tree_util.tree_structure(p_fast)
+    assert jax.tree_util.tree_map(jnp.shape, p_plain) == \
+        jax.tree_util.tree_map(jnp.shape, p_fast)
+    y_plain = plain.apply({"params": p_plain}, x)
+    y_fast = fast.apply({"params": p_plain}, x)  # same params, both paths
+    np.testing.assert_allclose(
+        np.asarray(y_plain), np.asarray(y_fast), atol=3e-2)
+    # f32 end-to-end pins it near-exact (order-of-summation only)
+    plain32 = PoolResnet(dtype=jnp.float32, **kw)
+    fast32 = PoolResnet(fast_stem=True, dtype=jnp.float32, **kw)
+    y1 = plain32.apply({"params": p_plain}, x)
+    y2 = fast32.apply({"params": p_plain}, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_separable_fast_stem_matches_plain():
+    """SeparableCNN shares the k10/s8 stem; same checkpoint-compat gate."""
+    from fdtpu.models.separable import SeparableCNN
+
+    kw = dict(input_shape=(320, 320), num_patches=15, filters=8,
+              num_residual_blocks=3, dtype=jnp.float32)
+    plain = SeparableCNN(**kw)
+    fast = SeparableCNN(fast_stem=True, **kw)
+    x = jax.random.uniform(KEY, (2, 320, 320, 3), jnp.float32)
+    p = plain.init(KEY, x[:1])["params"]
+    assert jax.tree_util.tree_map(jnp.shape, p) == \
+        jax.tree_util.tree_map(jnp.shape, fast.init(KEY, x[:1])["params"])
+    np.testing.assert_allclose(
+        np.asarray(plain.apply({"params": p}, x)),
+        np.asarray(fast.apply({"params": p}, x)), atol=1e-5)
+
+
 def test_resnet_grid_arithmetic():
     # Resnet.py __main__ config: stem 240 -> pools to 15 -> k3 pad1 -> 15
     # (4 pooling blocks needed: 240 -> 120 -> 60 -> 30 -> 15)

@@ -64,6 +64,11 @@ def parse_args():
     p.add_argument("--data-parallel", type=int, default=0,
                    help="devices on the 'data' mesh axis (0 = single device, "
                         "-1 = all visible devices); batch size must divide")
+    p.add_argument("--no-fast-stem", action="store_true",
+                   help="disable the two-stage stem lowering (same math as "
+                        "the reference's k10/s8 conv, checkpoint-compatible "
+                        "both ways; default on: +3.7%% train / +2.5%% infer "
+                        "throughput on v5e, BASELINE.md round-4)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax backend (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; use --platform cpu for host runs)")
@@ -122,6 +127,7 @@ def main():
         input_shape=(args.input, args.input),
         num_patches=args.patches,
         num_residual_blocks=args.blocks,
+        fast_stem=not args.no_fast_stem,
     )
     train_cfg = TrainConfig(
         learning_rate=args.lr,
