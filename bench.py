@@ -13,6 +13,15 @@ the measurement — real training pipelines the same way. Each metric is the
 driver-reproducible medians, not the best observed day; tunnel latency
 varies several-fold), with min/max reported alongside.
 
+Scan lengths (round-4): each timed dispatch still pays one ~20-30 ms
+tunnel round-trip, so the reported rate is ``compute + overhead/scan``.
+The original scans (train 10 / infer 30) left 10-20% of amortizable
+dispatch in the number (measured convergence: b128 infer 31.0k @ scan 30,
+36.8k @ 100, 38.5k @ 300 — fit: overhead ~24-28 ms, compute ~3.24 ms/iter);
+scans are now sized so the residual is <3% (train 100 / infer 300).
+Rounds <= 3 therefore UNDER-report device throughput by that margin —
+see BASELINE.md round-4 "dispatch amortization" note before comparing.
+
 MFU is derived from ANALYTIC conv FLOPs (``poolresnet_forward_flops``)
 against the chip's bf16 peak — XLA's ``cost_analysis()`` is unusable on
 this backend (under-reports ~30x, see that function's docstring) — the
@@ -38,8 +47,8 @@ SIZE = 320
 FILTERS = 128
 BLOCKS = 10
 BATCH = 128
-TRAIN_SCAN = 10
-INFER_SCAN = 30
+TRAIN_SCAN = 100
+INFER_SCAN = 300
 REPS = 3
 
 # bf16 peak of one TPU v5e (v5 lite) chip; used only for the MFU readout.

@@ -13,14 +13,19 @@ latency is excluded:
   fwd_train     forward, train=True (dropout masks live)
   fwd_bwd       value_and_grad of the mean YOLO loss (encode precomputed)
   fwd_bwd_nodrop  same on a dropout-free twin (rate=0.0) — dropout tax
+  opt_only      Adam update + apply_updates over the param tree alone
+  fwd_bwd_u8    fwd_bwd from the step's real uint8 input, encode + the
+                u8->f32/255 + area-filter passes inside (prices the
+                input-side passes in fused context)
   adam_noaug    full step, augment off, SAM off
   sam_noaug     full step, augment off, SAM on
   full          the headline step (augment + SAM + Adam)
   full@b64/b256 batch-scaling of the headline step
 
 Derived lines: bwd = fwd_bwd - fwd_train; dropout tax = fwd_bwd -
-fwd_bwd_nodrop; optimizer+encode = adam_noaug - fwd_bwd; SAM tax =
-sam_noaug - adam_noaug; augment-in-step = full - sam_noaug.
+fwd_bwd_nodrop; optimizer+encode = adam_noaug - fwd_bwd; input-side
+passes = fwd_bwd_u8_encode - fwd_bwd; SAM tax = sam_noaug - adam_noaug;
+augment-in-step = full - sam_noaug.
 
 Usage: python scripts/bench_step_decomp.py [--batch 128] [--size 320]
 Run alone — the chip admits one client at a time. One JSON line.
@@ -77,7 +82,12 @@ def main():
 
     from fdtpu.models import PoolResnet
     from fdtpu.train import create_train_state
-    from fdtpu.train.step import _encode_targets, _loss_and_out, make_train_step
+    from fdtpu.train.step import (
+        _encode_targets,
+        _loss_and_out,
+        _prepare_inputs,
+        make_train_step,
+    )
     from fdtpu.utils.config import TrainConfig
 
     B, S = args.batch, args.size
@@ -147,6 +157,44 @@ def main():
     results["fwd_bwd_nodrop_ms"] = round(
         time_scan_ms(fwd_bwd(module_nodrop), imgs_f, args.scan), 3)
 
+    # 4b: optimizer apply alone — Adam update chain over the param tree with
+    # derived gradients (prices the optax update + apply_updates passes).
+    import optax
+
+    from fdtpu.train.state import make_optimizer
+
+    tx_probe = make_optimizer(TrainConfig(use_sam=False), 100)
+
+    def opt_probe(c):
+        p, o = c
+        grads = jax.tree_util.tree_map(lambda q: 0.001 * q, p)
+        updates, o2 = tx_probe.update(grads, o, p)
+        p2 = optax.apply_updates(p, updates)
+        return (p2, o2), jax.tree_util.tree_leaves(p2)[0].reshape(-1)[0]
+
+    results["opt_only_ms"] = round(
+        time_scan_ms(opt_probe, (params, tx_probe.init(params)), args.scan), 3)
+
+    # 4c: fwd+bwd starting from the step's real uint8 input — prices the
+    # u8 -> f32/255 conversion + area-filter mask the production no-augment
+    # path performs (``_prepare_inputs`` else-branch) in fused context.
+    def fwd_bwd_u8(mod):
+        def body(c):
+            imgs2, bx2, bm2 = _prepare_inputs(c, boxes, box_mask, key, False)
+            enc2, _ = _encode_targets(mod, bx2, bm2, (S, S))
+            loss_fn = lambda p: _loss_and_out(
+                mod, p, {}, imgs2, enc2, None, key, True, 10, sample_mask)[0]
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            gsum = sum(g.reshape(-1)[0].astype(jnp.float32)
+                       for g in jax.tree_util.tree_leaves(grads))
+            # chain through the uint8 carry (keep iterations serialized)
+            c2 = c + (1e-7 * (loss + 1e-7 * gsum)).astype(c.dtype)
+            return c2, loss
+        return body
+
+    results["fwd_bwd_u8_encode_ms"] = round(
+        time_scan_ms(fwd_bwd_u8(module), images, args.scan), 3)
+
     # 5-7: full step variants through the production builder
     def step_body(cfg, aug):
         st, tx2 = create_train_state(module, cfg, jax.random.PRNGKey(0), 100)
@@ -172,6 +220,8 @@ def main():
             results["fwd_bwd_ms"] - results["fwd_bwd_nodrop_ms"], 3),
         "opt_encode_ms": round(
             results["adam_noaug_ms"] - results["fwd_bwd_ms"], 3),
+        "input_passes_ms": round(
+            results["fwd_bwd_u8_encode_ms"] - results["fwd_bwd_ms"], 3),
         "sam_tax_ms": round(
             results["sam_noaug_ms"] - results["adam_noaug_ms"], 3),
         "augment_in_step_ms": round(
