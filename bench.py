@@ -160,24 +160,30 @@ def main():
     # -- inference: forward + fused decode/filter/NMS, scanned on device.
     # Decode through the PRODUCTION helper (fdtpu/train/step.py) so the bench
     # measures the shipped path: the Pallas fused decode+filter+NMS batch
-    # kernel on TPU, the vmapped XLA twin elsewhere.
+    # kernel on TPU, the vmapped XLA twin elsewhere. The scan carries the
+    # frames as uint8 — the dtype serving actually receives (the host decode
+    # and ``Detector.predict`` are u8-in) — with the /255 convert on device;
+    # an f32-staged feed reads 4x the bytes and measures 0.7 ms/batch slower
+    # (BASELINE.md round-4 decomposition, ``fwd_bwd_u8_encode`` arm).
     variables = {"params": holder["st"].params}
-    imgs_f = images.astype(jnp.float32) / 255.0
 
-    def infer_many(x):
+    def infer_many(x_u8):
         def body(c, _):
-            out = module.apply(variables, c, train=False)
+            imgs = c.astype(jnp.float32) / 255.0
+            out = module.apply(variables, imgs, train=False)
             b, m = _decode_predictions(module, out, (SIZE, SIZE), 0.5, 0.5, 64)
-            # feed a scalar back so iterations are serialized
-            c2 = c + jnp.float32(1e-7) * jnp.sum(b[:, 0, 0])
+            # serialize iterations through a cheap u8-space mutation (flip
+            # the low bit when the detection count is odd) — keeps the
+            # carry's bytes live without an f32 full-image pass
+            c2 = c ^ (jnp.sum(m) % 2).astype(jnp.uint8)
             return c2, jnp.sum(m)
-        return jax.lax.scan(body, x, None, length=INFER_SCAN)
+        return jax.lax.scan(body, x_u8, None, length=INFER_SCAN)
 
-    infer_compiled = jax.jit(infer_many).lower(imgs_f).compile()
-    _, counts = infer_compiled(imgs_f)
+    infer_compiled = jax.jit(infer_many).lower(images).compile()
+    _, counts = infer_compiled(images)
     jax.device_get(counts)  # warmup
     infer_img_s, infer_rates = _timed_rates(
-        lambda: infer_compiled(imgs_f)[1], jax.device_get, BATCH * INFER_SCAN
+        lambda: infer_compiled(images)[1], jax.device_get, BATCH * INFER_SCAN
     )
 
     device = jax.devices()[0]

@@ -63,22 +63,26 @@ def main():
                        else "xla_twin" if args.xla_nms else "pallas_batch")}
     rng = np.random.default_rng(0)
     for b in [int(s) for s in args.batches.split(",")]:
+        # carry the frames as uint8 (the dtype serving receives; an
+        # f32-staged feed reads 4x the bytes — BASELINE.md round-4
+        # decomposition) and serialize iterations in u8 space
         imgs = jnp.asarray(
             rng.integers(0, 255, size=(b, SIZE, SIZE, 3), dtype=np.uint8)
-        ).astype(jnp.float32) / 255.0
+        )
 
-        def infer_many(x):
+        def infer_many(x_u8):
             def body(c, _):
-                out = module.apply(variables, c, train=False)
+                x = c.astype(jnp.float32) / 255.0
+                out = module.apply(variables, x, train=False)
                 if args.fwd_only:
-                    c2 = c + jnp.float32(1e-7) * jnp.sum(out[:, 0, 0, 0])
-                    return c2, jnp.sum(out[..., 0])
+                    fb = jnp.sum(out[..., 0]).astype(jnp.int32)
+                    return c ^ (fb % 2).astype(jnp.uint8), fb
                 bx, m = _decode_predictions(
                     module, out, (SIZE, SIZE), 0.5, 0.5, 64,
                     pallas_nms=False if args.xla_nms else None)
-                c2 = c + jnp.float32(1e-7) * jnp.sum(bx[:, 0, 0])
+                c2 = c ^ (jnp.sum(m) % 2).astype(jnp.uint8)
                 return c2, jnp.sum(m)
-            return jax.lax.scan(body, x, None, length=args.scan)
+            return jax.lax.scan(body, x_u8, None, length=args.scan)
 
         compiled = jax.jit(infer_many).lower(imgs).compile()
         jax.device_get(compiled(imgs)[1])  # warmup
