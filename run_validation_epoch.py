@@ -32,6 +32,13 @@ def parse_args():
     p.add_argument("--iou-threshold", type=float, default=0.01)
     p.add_argument("--max-images", type=int, default=0)
     p.add_argument("--with-ap", action="store_true", help="also compute AP@0.5")
+    p.add_argument("--widerface-gt-dir", default=None,
+                   help="official eval_tools ground_truth dir (wider_face_val"
+                        ".mat + wider_{easy,medium,hard}_val.mat): run the "
+                        "OFFICIAL easy/medium/hard mAP protocol over the val "
+                        "split (fdtpu/train/widerface_eval.py). Pair with a "
+                        "low --prob-threshold (e.g. 0.02) so the PR sweep "
+                        "isn't truncated at the decode gate")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax backend (axon ignores JAX_PLATFORMS)")
     return p.parse_args()
@@ -90,6 +97,46 @@ def main():
             from fdtpu.train.checkpoint import restore_checkpoint
 
             trainer.state = restore_checkpoint(args.checkpoint, trainer.state)
+    if args.widerface_gt_dir:
+        # OFFICIAL WIDERFace protocol (easy/medium/hard mAP) — the real
+        # north-star gate; see fdtpu/train/widerface_eval.py. Covers EVERY
+        # val image (the reference's <3-face crowding filter is a training
+        # choice, not an eval one) and rescales detections back to original
+        # pixels, where the official ground truth lives.
+        from PIL import Image
+
+        from fdtpu.train.widerface_eval import (
+            detections_to_official,
+            evaluate_widerface,
+        )
+
+        targets = load_targets(args.data_dir, "val", max_faces=10**9)
+        if args.max_images:
+            targets = targets[: args.max_images]
+        src = WIDERFaceDataSource(targets, cfg.input_shape, 8)
+        loader = BatchLoader(src, args.batch_size)
+        in_size = (cfg.input_shape[1], cfg.input_shape[0])  # (w, h)
+        preds = {}
+        cursor = 0
+        for batch in loader:
+            _, (pb, pm) = trainer.eval_step(
+                trainer.state, batch.images, batch.boxes,
+                batch.box_mask, batch.sample_mask,
+            )
+            pb, pm = np.asarray(pb), np.asarray(pm)
+            for i in range(int(np.sum(batch.sample_mask))):
+                path = targets[cursor]["img_path"]
+                key = f"{path.parent.name}/{path.stem}"
+                with Image.open(path) as im:
+                    orig = im.size  # header read only
+                preds[key] = detections_to_official(
+                    pb[i], pm[i], in_size, orig
+                )
+                cursor += 1
+        aps = evaluate_widerface(preds, args.widerface_gt_dir)
+        print({f"mAP_{k}": round(v, 5) for k, v in aps.items()})
+        return
+
     if not args.with_ap:
         metrics = trainer.test(loader)
         print({k: round(v, 5) for k, v in metrics.items()})
