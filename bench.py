@@ -49,6 +49,7 @@ BLOCKS = 10
 BATCH = 128
 TRAIN_SCAN = 100
 INFER_SCAN = 300
+LATENCY_SCAN = 2000
 REPS = 3
 
 # bf16 peak of one TPU v5e (v5 lite) chip; used only for the MFU readout.
@@ -186,6 +187,26 @@ def main():
         lambda: infer_compiled(images)[1], jax.device_get, BATCH * INFER_SCAN
     )
 
+    # -- single-image serving latency (b1). f32-staged feed: at 0.3 MB/frame
+    # the u8 traffic saving is nil and measures ~0.2 ms slower (BASELINE.md
+    # round-4 feed-dtype note), so tiny-batch serving stages f32.
+    img1 = images[:1].astype(jnp.float32) / 255.0
+
+    def serve_one(x):
+        def body(c, _):
+            out = module.apply(variables, c, train=False)
+            b, m = _decode_predictions(module, out, (SIZE, SIZE), 0.5, 0.5, 64)
+            c2 = c + jnp.float32(1e-7) * jnp.sum(b[:, 0, 0])
+            return c2, jnp.sum(m)
+        return jax.lax.scan(body, x, None, length=LATENCY_SCAN)
+
+    serve_compiled = jax.jit(serve_one).lower(img1).compile()
+    jax.device_get(serve_compiled(img1)[1])  # warmup
+    lat_img_s, _ = _timed_rates(
+        lambda: serve_compiled(img1)[1], jax.device_get, LATENCY_SCAN
+    )
+    latency_b1_ms = 1e3 / lat_img_s
+
     device = jax.devices()[0]
     result = {
         "metric": "train_images_per_sec_per_chip_320px",
@@ -200,6 +221,7 @@ def main():
         "infer_img_s_min_max": [
             round(min(infer_rates), 1), round(max(infer_rates), 1)
         ],
+        "serving_latency_b1_ms": round(latency_b1_ms, 4),
         "reps": REPS,
         "device": str(device),
         "model": f"PoolResnet-{FILTERS} {SIZE}px b{BATCH} bf16 sam+aug",
