@@ -260,6 +260,30 @@ def evaluate_widerface(
     return out
 
 
+def write_official_predictions(
+    preds: Mapping[str, np.ndarray], out_dir: str
+) -> int:
+    """Write predictions in the official toolkit's submission layout —
+    ``<out_dir>/<event>/<file>.txt`` with a name line, a count line, then
+    ``x y w h score`` rows — so results can be cross-checked with the
+    external evaluator. Returns the number of files written."""
+    n = 0
+    for key, det in preds.items():
+        det = np.asarray(det, np.float64).reshape(-1, 5)
+        event, name = key.split("/", 1)
+        d = os.path.join(out_dir, event)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{name}.txt"), "w") as f:
+            f.write(f"{name}\n{det.shape[0]}\n")
+            for row in det:
+                f.write(
+                    f"{row[0]:.3f} {row[1]:.3f} {row[2]:.3f} "
+                    f"{row[3]:.3f} {row[4]:.5f}\n"
+                )
+        n += 1
+    return n
+
+
 def load_official_gt(
     gt_dir: str, setting: str
 ) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:

@@ -39,6 +39,10 @@ def parse_args():
                         "split (fdtpu/train/widerface_eval.py). Pair with a "
                         "low --prob-threshold (e.g. 0.02) so the PR sweep "
                         "isn't truncated at the decode gate")
+    p.add_argument("--widerface-pred-dir", default=None,
+                   help="with --widerface-gt-dir: also dump detections in "
+                        "the official submission txt layout (cross-check "
+                        "with the external toolkit)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax backend (axon ignores JAX_PLATFORMS)")
     return p.parse_args()
@@ -133,6 +137,11 @@ def main():
                     pb[i], pm[i], in_size, orig
                 )
                 cursor += 1
+        if args.widerface_pred_dir:
+            from fdtpu.train.widerface_eval import write_official_predictions
+
+            n = write_official_predictions(preds, args.widerface_pred_dir)
+            print({"prediction_files": n, "dir": args.widerface_pred_dir})
         aps = evaluate_widerface(preds, args.widerface_gt_dir)
         print({f"mAP_{k}": round(v, 5) for k, v in aps.items()})
         return

@@ -166,3 +166,16 @@ def test_official_mat_pipeline_end_to_end(tmp_path):
     preds2[victim] = np.zeros((0, 5))
     aps2 = evaluate_widerface(preds2, str(gt_dir))
     assert aps2["easy"] < 1.0
+
+
+def test_write_official_predictions(tmp_path):
+    from fdtpu.train.widerface_eval import write_official_predictions
+
+    preds = {"0--Ev/img_1": np.array([_box(1, 2, 3, 4, 0.75)]),
+             "1--Other/img_2": np.zeros((0, 5))}
+    n = write_official_predictions(preds, str(tmp_path))
+    assert n == 2
+    text = (tmp_path / "0--Ev" / "img_1.txt").read_text().splitlines()
+    assert text[0] == "img_1" and text[1] == "1"
+    assert text[2].split() == ["1.000", "2.000", "3.000", "4.000", "0.75000"]
+    assert (tmp_path / "1--Other" / "img_2.txt").read_text().splitlines()[1] == "0"
