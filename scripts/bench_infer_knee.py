@@ -10,7 +10,12 @@ counterpart: the reference serves ONNX at whatever batch onnxruntime is fed
 no knee.
 
 Usage: python scripts/bench_infer_knee.py [--batches 64,128,256,512]
-Run alone - the chip admits one client at a time. One JSON line.
+         [--scan N] [--xla-nms | --fwd-only]
+Small batches (1, 8) with --scan 2000 give serving latency; --xla-nms and
+--fwd-only price the decode paths against the same harness. The scan
+carries uint8 frames (production input dtype — BASELINE.md round-4
+feed-dtype note). Run alone - the chip admits one client at a time.
+One JSON line.
 """
 
 import argparse

@@ -81,8 +81,13 @@ def parse_args():
 
 def apply_platform(platform: str | None) -> None:
     """Force the jax backend before any backend initialization (must be the
-    config API — this image's axon TPU plugin overrides JAX_PLATFORMS)."""
-    if platform:
+    config API — this image's axon TPU plugin overrides JAX_PLATFORMS).
+
+    ``"tpu"`` leaves jax's default auto-selection in place (prefers the
+    accelerator): TPU plugins register under their own platform names
+    (this image's tunnel is ``axon``), so pinning the literal string would
+    crash exactly where a TPU is present."""
+    if platform and platform != "tpu":
         import jax
 
         jax.config.update("jax_platforms", platform)
