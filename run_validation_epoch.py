@@ -20,11 +20,14 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-dir", default="data")
     p.add_argument("--model", default="mobilenetv3",
-                   choices=["poolresnet", "resnet", "separable", "mobilenetv3"])
+                   choices=["poolresnet", "resnet", "separable", "mobilenetv3",
+                            "ssd"])
     p.add_argument("--checkpoint", default=None, help="Orbax checkpoint path")
     p.add_argument("--input", type=int, default=480)
     p.add_argument("--patches", type=int, default=15)
-    p.add_argument("--filters", type=int, default=128)
+    p.add_argument("--filters", type=int, default=None,
+                   help="default 128 (YOLO family, train_model.py:27) / "
+                        "16 (ssd, train_model_ssd.py:22)")
     p.add_argument("--blocks", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=8)
     # reference thresholds: run_validation_epoch.py:20-21
@@ -57,25 +60,44 @@ def main():
 
     args = parse_args()
     apply_platform(args.platform)
-    cfg = DetectorConfig(
-        filters=args.filters,
-        input_shape=(args.input, args.input),
-        num_patches=args.patches,
-        num_residual_blocks=args.blocks,
-        probability_threshold=args.prob_threshold,
-        iou_threshold=args.iou_threshold,
-    )
-    targets = load_targets(args.data_dir, "val", max_faces=3)
+    if args.model == "ssd":
+        from fdtpu.models.ssd import ssd_patch_sizes
+        from fdtpu.utils.config import SSDConfig
+
+        shape = (args.input, args.input)
+        cfg = SSDConfig(
+            filters=args.filters or 16,
+            input_shape=shape,
+            patch_sizes=tuple(ssd_patch_sizes(shape)),
+            probability_threshold=args.prob_threshold,
+            iou_threshold=args.iou_threshold,
+        )
+        nms_capacity = cfg.nms_capacity
+    else:
+        cfg = DetectorConfig(
+            filters=args.filters or 128,
+            input_shape=(args.input, args.input),
+            num_patches=args.patches,
+            num_residual_blocks=args.blocks,
+            probability_threshold=args.prob_threshold,
+            iou_threshold=args.iou_threshold,
+        )
+        nms_capacity = 64
+    # SSD validates under its own pipeline constants: the <120-face filter
+    # and a 128-box capacity (datamodule_ssd.py:103; train_model_ssd.py),
+    # vs the YOLO pipeline's <3 filter (datamodule.py:102)
+    max_faces, capacity = (120, 128) if args.model == "ssd" else (3, 8)
+    targets = load_targets(args.data_dir, "val", max_faces=max_faces)
     if args.max_images:
         targets = targets[: args.max_images]
-    src = WIDERFaceDataSource(targets, cfg.input_shape, 8)
+    src = WIDERFaceDataSource(targets, cfg.input_shape, capacity)
     loader = BatchLoader(src, args.batch_size)
 
     module = build_model(args.model, cfg)
     train_cfg = TrainConfig(visualize_first_batch=False)
     trainer = Trainer(
         module, train_cfg, loader, loader,
-        nms_params=(args.prob_threshold, args.iou_threshold, 64),
+        nms_params=(args.prob_threshold, args.iou_threshold, nms_capacity),
         run_name="validation",
     )
     if args.checkpoint:
@@ -94,7 +116,7 @@ def main():
             )
             trainer.eval_step = make_eval_step(
                 module, train_cfg,
-                nms_params=(args.prob_threshold, args.iou_threshold, 64),
+                nms_params=(args.prob_threshold, args.iou_threshold, nms_capacity),
                 return_boxes=True,
             )
         else:
