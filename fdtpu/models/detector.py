@@ -226,11 +226,15 @@ def build_model(name: str, config) -> Any:
     if name == "ssd":
         from fdtpu.models.ssd import ssd_patch_sizes
 
+        # a YOLO-family DetectorConfig carries no patch_sizes — every entry
+        # script (demo, converters, validation) can still ask for "ssd" and
+        # get the geometry computed for its input resolution
+        patch = getattr(config, "patch_sizes", None)
         return SSD(
             filters=config.filters,
             input_shape=config.input_shape,
-            patch_sizes=tuple(config.patch_sizes)
-            if config.patch_sizes
+            patch_sizes=tuple(patch)
+            if patch
             else ssd_patch_sizes(config.input_shape),
             dtype=dtype,
         )
