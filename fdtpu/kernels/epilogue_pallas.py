@@ -19,7 +19,12 @@ program per image reads the two planes once from HBM and writes the fused
 
 Numerics: identical op set and order as the XLA path (leaky in the input
 dtype, add, pairwise max), so outputs are bit-identical — gated by
-``tests/test_kernels.py`` and the bench's equality check.
+``tests/test_epilogue.py`` and the bench's equality check.
+
+**Eval-only**: ``pl.pallas_call`` has no VJP here, so differentiating
+through ``fused_residual_tail`` raises. Production wiring gates on
+``deterministic`` (ResidualBlock uses it only when dropout is identity);
+the training step keeps the pure-XLA tail.
 
 The pooled variant reshapes ``(H, W, C) -> (H//2, 2, W//2, 2, C)`` inside
 the kernel and reduces the two size-2 axes; Mosaic accepts the sublane
@@ -65,6 +70,7 @@ def fused_residual_tail(c2, skip, *, pool: bool, interpret: bool | None = None):
         interpret = jax.devices()[0].platform != "tpu"
     b, h, w, c = c2.shape
     assert skip.shape == c2.shape, (c2.shape, skip.shape)
+    assert skip.dtype == c2.dtype, (c2.dtype, skip.dtype)
     if pool:
         assert h % 2 == 0 and w % 2 == 0, (h, w)
         out_shape = (b, h // 2, w // 2, c)
