@@ -22,6 +22,15 @@ Protocol (semantics of the official toolkit, re-implemented fresh):
    already-recalled kept GT stays a proposal (duplicates hurt precision).
 3. PR points at 1000 score thresholds; recall denominator is the number of
    *kept* faces; AP is VOC-style all-points (precision envelope integral).
+4. Toolkit-faithful quirks, kept deliberately: IoU uses the +1
+   inclusive-pixel convention, and images with zero GT boxes or zero
+   detections are skipped after counting their kept faces (false positives
+   on GT-less images never count as proposals).
+
+Cross-checked for exact agreement against an independently-derived
+loop-level transliteration of the published algorithm
+(``tests/widerface_official_transliteration.py``) on randomized cases —
+``tests/test_widerface_eval.py::test_cross_implementation_agreement``.
 
 Ground truth comes either from the official ``.mat`` files
 (:func:`load_official_gt`, needs scipy + the ``eval_tools`` ground_truth
@@ -87,16 +96,21 @@ def _to_xyxy(b: np.ndarray) -> np.ndarray:
 
 
 def _iou_matrix(pred_xywh: np.ndarray, gt_xywh: np.ndarray) -> np.ndarray:
-    """(N, M) IoU between xywh boxes (inclusive pixel convention is NOT
-    applied — the official toolkit uses the continuous w*h area form)."""
+    """(N, M) IoU between xywh boxes, official **+1 inclusive-pixel
+    convention**: the toolkit converts ``x2 = x1 + w`` and then measures
+    every extent (widths, heights, intersections) as ``x2 - x1 + 1``
+    (Faster-RCNN ``bbox_overlaps``; also the MATLAB ``boxoverlap.m``).
+    Round 5 cross-check vs the clean-room transliteration
+    (tests/widerface_official_transliteration.py) caught the continuous
+    form previously used here as a protocol deviation."""
     p = _to_xyxy(pred_xywh)
     g = _to_xyxy(gt_xywh)
     lt = np.maximum(p[:, None, :2], g[None, :, :2])
     rb = np.minimum(p[:, None, 2:], g[None, :, 2:])
-    wh = np.clip(rb - lt, 0.0, None)
+    wh = np.clip(rb - lt + 1.0, 0.0, None)
     inter = wh[..., 0] * wh[..., 1]
-    area_p = (p[:, 2] - p[:, 0]) * (p[:, 3] - p[:, 1])
-    area_g = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+    area_p = (p[:, 2] - p[:, 0] + 1) * (p[:, 3] - p[:, 1] + 1)
+    area_g = (g[:, 2] - g[:, 0] + 1) * (g[:, 3] - g[:, 1] + 1)
     union = area_p[:, None] + area_g[None, :] - inter
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
@@ -216,7 +230,11 @@ def evaluate_split(
                 keep[raw.astype(np.int64).reshape(-1)] = True
         count_faces += int(keep.sum())
         pred = preds.get(key)
-        if pred is None or pred.shape[0] == 0:
+        # official control flow: an image with zero GT boxes OR zero
+        # detections contributes only its kept-face count — false positives
+        # on GT-less images never enter the proposal pool (published-toolkit
+        # quirk, transliterated in tests/widerface_official_transliteration)
+        if pred is None or pred.shape[0] == 0 or gt.shape[0] == 0:
             continue
         scores, proposal, cum_recall = _image_eval(pred, gt, keep, iou_thresh)
         # per-threshold: proposals among detections above threshold, and the
