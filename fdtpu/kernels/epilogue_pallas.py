@@ -1,30 +1,34 @@
 """Fused residual-block tail: ``maxpool2x2(leaky(c2) + skip)`` in one pass.
 
-The round-4 forward decomposition (BASELINE.md) showed XLA-TPU emits every
-inter-conv elementwise op of the reference block
-(``/root/reference/models/PoolResnet.py:11-43``: conv -> leaky -> conv ->
-leaky -> dropout -> +skip -> maxpool) as a standalone kLoop fusion — a full
-HBM round-trip each — and that no flag changes this (the
-``optimization_barrier`` arm costs the same as the full model). At eval time
-(dropout = identity) the tail after the second conv is
+**STATUS: built, measured on TPU, REJECTED — kept as the measurement**
+(round-4 VERDICT item 1; BASELINE.md round-5 "fused-tail rejection").
+The hypothesis came from the round-4 forward decomposition: an apparent
+~1.6 ms/batch elementwise tax over the conv-only arm for the reference
+block (``/root/reference/models/PoolResnet.py:11-43``: conv -> leaky ->
+conv -> leaky -> dropout -> +skip -> maxpool), with a 2R + W/4 HBM floor
+for the eval-time tail
 
     out = max_pool_2x2(leaky(c2) + skip)        # pooling blocks
     out = leaky(c2) + skip                      # non-pooling blocks
 
-which XLA prices at leaky (1R+1W) + add (2R+1W) + reduce-window (1R+W/4)
-per block; the information-theoretic floor is 2R + W/4 (read each input
-once, write the pooled output). This kernel hits the floor: one Pallas
-program per image reads the two planes once from HBM and writes the fused
-(optionally pooled) result.
+The real-chip shootout (``scripts/bench_pool_fusion.py``, b128/320px
+flagship, scan=100, 5 reps, ``logs/round5/pool_fusion.json``) refutes it:
 
-Numerics: identical op set and order as the XLA path (leaky in the input
-dtype, add, pairwise max), so outputs are bit-identical — gated by
-``tests/test_epilogue.py`` and the bench's equality check.
+* production forward 2.98 ms; this kernel wired into every block 4.09 ms
+  (**+37%**); the one-expression XLA "slicemax" rewrite 3.06 ms (wash).
+* XLA-TPU already consumes the elementwise tail as conv *epilogue/input*
+  fusions — there is no standalone round-trip to claim; a separate kernel
+  ADDS one (conv output must round-trip HBM to feed it). The round-4
+  "elementwise tax" is the irreducible traffic of those fused epilogues,
+  not an unfused gap.
+* Numerics: NOT bit-exact on real TPU — Mosaic's bf16 elementwise rounding
+  differs from XLA's fused-epilogue arithmetic by 1-2 ULP (isolated probe
+  maxdiff 0.03-0.06 on ±9-scale inputs; in-model 0.056). Interpret mode
+  (the CPU test gate in ``tests/test_epilogue.py``) is exact — a reminder
+  that interpret-mode equality does not transfer to Mosaic.
 
-**Eval-only**: ``pl.pallas_call`` has no VJP here, so differentiating
-through ``fused_residual_tail`` raises. Production wiring gates on
-``deterministic`` (ResidualBlock uses it only when dropout is identity);
-the training step keeps the pure-XLA tail.
+**Eval-only** either way: ``pl.pallas_call`` has no VJP here, so
+differentiating through ``fused_residual_tail`` raises.
 
 The pooled variant reshapes ``(H, W, C) -> (H//2, 2, W//2, 2, C)`` inside
 the kernel and reduces the two size-2 axes; Mosaic accepts the sublane
@@ -50,11 +54,18 @@ def _tail_kernel(c2_ref, skip_ref, out_ref, *, pool: bool):
     # pooled variant induces.
     y = jnp.maximum(x, 0.2 * x) + skip_ref[0]
     if pool:
-        # 2x2/2 max pool via strided-slice maxima (a reshape to
-        # (h/2, 2, w/2, 2, c) makes Mosaic infer a 3-D vector layout it
-        # cannot compare in; slices keep the native (sublane, lane) tiling)
-        y = jnp.maximum(y[0::2], y[1::2])
-        y = jnp.maximum(y[:, 0::2], y[:, 1::2])
+        # 2x2/2 max pool via two rank-preserving axis splits with STATIC
+        # index maxima. On real TPU Mosaic rejects the alternatives: python
+        # strided slices (y[0::2]) lower to a >2-D gather
+        # ("Only 2D gather is supported") and lax.slice with strides trips
+        # a vector.extract_strided_slice verification error; the single 5-D
+        # reshape can't be compared in the layout Mosaic infers. Splitting
+        # one axis at a time (lane dim c untouched) is accepted.
+        h, w, c = y.shape
+        y = y.reshape(h // 2, 2, w, c)
+        y = jnp.maximum(y[:, 0], y[:, 1])
+        y = y.reshape(h // 2, w // 2, 2, c)
+        y = jnp.maximum(y[:, :, 0], y[:, :, 1])
     out_ref[0] = y
 
 
