@@ -209,11 +209,73 @@ class SeparableResidualBlock(nn.Module):
         return x
 
 
+class WidthFoldedConv(nn.Module):
+    """Width-folded lowering of a 3x3 stride-1 pad-1 convolution.
+
+    The SSD model's early blocks (``/root/reference/models/SSD.py:135-163``)
+    convolve high-resolution planes with only 16-64 output channels, so each
+    MXU pass fills at most a quarter of its 128 result lanes (BASELINE.md
+    round-2 SSD decomposition). This module computes the SAME
+    multiply-accumulate set but packs ``fold`` consecutive output width
+    positions into the lane dimension: the (3, 3, cin, cout) kernel becomes
+    (3, fold+2, cin, fold*cout) with output-channel group ``j`` holding the
+    original kernel shifted ``j`` taps right (zeros elsewhere), applied with
+    width stride ``fold``. The zero taps add exact 0.0 to the f32
+    accumulator, so the dot-product set per output element is unchanged; the
+    (B, H, W/fold, fold*cout) result unfolds to (B, H, W, cout) by a
+    row-major reshape. Lane utilization rises ``fold``-fold for a
+    ``(fold+2)/3`` FLOP padding factor (2x at fold=4) — same playbook as
+    ``TwoStageStemConv``, measured in ``scripts/bench_ssd_arms.py``.
+
+    Param tree (``kernel`` HWIO (3,3,cin,cout) + ``bias``, same names /
+    shapes / init streams as ``nn.Conv``), so a model can switch lowering
+    per-conv with full checkpoint compatibility.
+    """
+
+    features: int
+    fold: int
+    dtype: Dtype = jnp.bfloat16
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f, cout = self.fold, self.features
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, cin, cout), jnp.float32
+        )
+        bias = self.param("bias", self.bias_init, (cout,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        B, H, W, _ = x.shape
+        assert W % f == 0, (W, f)
+        # Folded kernel: group j = original kernel at width taps j..j+2
+        # (pad-and-stack keeps this scatter-free).
+        wf = jnp.stack(
+            [jnp.pad(kernel, ((0, 0), (j, f - 1 - j), (0, 0), (0, 0)))
+             for j in range(f)],
+            axis=3,
+        ).reshape(3, f + 2, cin, f * cout)
+        y = jax.lax.conv_general_dilated(
+            x, wf, (1, f), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y.reshape(B, H, W, cout)
+        return y + bias
+
+
 class SSDResidualBlock(nn.Module):
     """The SSD model's block (``/root/reference/models/SSD.py:14-81``):
     despite its reference name ("SeparableResidualBlock") it uses two dense
     3x3 convs, a 1x1 projection on the skip when channel counts differ, and
     an explicit ``use_max_pool`` flag instead of shape-conditional pooling.
+
+    ``fold_width`` switches the 3x3 convs to the ``WidthFoldedConv``
+    lowering when the output channel count leaves MXU lanes idle
+    (``cout < 128``); identical MAC set and param tree (conv names pinned
+    to the autonames the plain path produces).
     """
 
     in_filters: int
@@ -222,15 +284,27 @@ class SSDResidualBlock(nn.Module):
     dropout: float = 0.25
     dtype: Dtype = jnp.bfloat16
     torch_init: bool = False
+    fold_width: bool = False
+    fold_cap: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        n_convs = 0
+
         def conv(out_f, k, inp, fan_in):
+            nonlocal n_convs
+            name = f"Conv_{n_convs}"
+            n_convs += 1
             kw = {}
             if self.torch_init:
                 kw["kernel_init"], kw["bias_init"] = torch_conv_inits(fan_in)
+            fold = min(self.fold_cap, 128 // out_f)
+            if (self.fold_width and k == 3 and fold > 1
+                    and inp.shape[2] % fold == 0):
+                return WidthFoldedConv(out_f, fold, dtype=self.dtype,
+                                       name=name, **kw)(inp)
             return nn.Conv(out_f, (k, k), padding=k // 2, dtype=self.dtype,
-                           **kw)(inp)
+                           name=name, **kw)(inp)
 
         if self.in_filters == self.out_filters:
             skip = x

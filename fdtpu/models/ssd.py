@@ -52,6 +52,14 @@ class SSD(nn.Module):
     # AP@0.5 0.24-0.30 flax-init vs 0.72-0.73 torch-init vs 0.87 for the
     # architecture-identical torch model — BASELINE.md round-3 SSD control).
     torch_init: bool = True
+    # TPU lowering switch: width-folded 3x3 convs for the lane-starved
+    # (cout < 128) blocks — identical MAC set and param tree; see
+    # ``fdtpu.models.layers.WidthFoldedConv`` + scripts/bench_ssd_arms.py.
+    fast_blocks: bool = False
+    # fold cap for the width-folded lowering (FLOP padding (fold+2)/3 at
+    # fold f; 4 packs cout=32 fully into lanes at 2x MACs, 2 pads only
+    # 1.33x) — shootout knob, see scripts/bench_ssd_arms.py.
+    fold_cap: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -71,11 +79,12 @@ class SSD(nn.Module):
         x = nn.Conv(f, (3, 3), strides=2, padding=1, dtype=self.dtype,
                     **stem_kw)(x)
         # feature_extractor (SSD.py:135-163): pool, pool, 6x plain, widen
-        x = SSDResidualBlock(f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype, torch_init=ti)(x, det)
-        x = SSDResidualBlock(2 * f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype, torch_init=ti)(x, det)
+        fb = self.fast_blocks
+        x = SSDResidualBlock(f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype, torch_init=ti, fold_width=fb, fold_cap=self.fold_cap)(x, det)
+        x = SSDResidualBlock(2 * f, 2 * f, use_max_pool=True, dropout=self.dropout, dtype=self.dtype, torch_init=ti, fold_width=fb, fold_cap=self.fold_cap)(x, det)
         for _ in range(6):
-            x = SSDResidualBlock(2 * f, 2 * f, dropout=self.dropout, dtype=self.dtype, torch_init=ti)(x, det)
-        x = SSDResidualBlock(2 * f, 4 * f, dropout=self.dropout, dtype=self.dtype, torch_init=ti)(x, det)
+            x = SSDResidualBlock(2 * f, 2 * f, dropout=self.dropout, dtype=self.dtype, torch_init=ti, fold_width=fb, fold_cap=self.fold_cap)(x, det)
+        x = SSDResidualBlock(2 * f, 4 * f, dropout=self.dropout, dtype=self.dtype, torch_init=ti, fold_width=fb, fold_cap=self.fold_cap)(x, det)
 
         scores, bbxs = [], []
         for i, ps in enumerate(self.patch_sizes):
@@ -84,6 +93,7 @@ class SSD(nn.Module):
             x = SSDResidualBlock(
                 in_f, out_f, use_max_pool=(i != 0),
                 dropout=self.dropout, dtype=self.dtype, torch_init=ti,
+                fold_width=fb, fold_cap=self.fold_cap,
             )(x, det)
             assert x.shape[1] == ps, (
                 f"scale {i}: spatial {x.shape[1]} != patch size {ps}; "

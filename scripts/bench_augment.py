@@ -21,7 +21,13 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def time_scan(step_fn, init, n):
+REPS = 3
+
+
+def time_scan(step_fn, init, n, reps=REPS):
+    """Median per-iteration seconds over ``reps`` timed dispatches (tunnel
+    latency varies several-fold; single-rep rows flip-flopped on the fused
+    photometric arm — round-4 VERDICT weak item 3)."""
     import jax
 
     @jax.jit
@@ -30,10 +36,13 @@ def time_scan(step_fn, init, n):
 
     c, out = many(init)
     jax.device_get(jax.tree_util.tree_leaves(out)[0])
-    t0 = time.perf_counter()
-    c, out = many(c)
-    jax.device_get(jax.tree_util.tree_leaves(out)[0])
-    return (time.perf_counter() - t0) / n
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        c, out = many(c)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0])
+        times.append((time.perf_counter() - t0) / n)
+    return float(np.median(times))
 
 
 def main():

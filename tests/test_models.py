@@ -148,6 +148,30 @@ def test_ssd_default_init_is_torch():
     assert s.std() > 1e-3
 
 
+def test_ssd_fast_blocks_matches_plain():
+    """fast_blocks (WidthFoldedConv lowering of the lane-starved cout<128
+    convs) is the same dot-product set — identical param tree, outputs equal
+    up to summation-order rounding; f32 pins it near-exact. Mirrors the
+    fast-stem gate."""
+    ps = ssd_patch_sizes((160, 160))
+    kw = dict(filters=16, input_shape=(160, 160), patch_sizes=ps)
+    plain = SSD(**kw)
+    fast = SSD(fast_blocks=True, **kw)
+    x = jax.random.uniform(KEY, (2, 160, 160, 3), jnp.float32)
+    p = plain.init(KEY, x[:1], train=False)["params"]
+    p_fast = fast.init(KEY, x[:1], train=False)["params"]
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(a, b)), p, p_fast))
+    np.testing.assert_allclose(
+        np.asarray(plain.apply({"params": p}, x, train=False)),
+        np.asarray(fast.apply({"params": p}, x, train=False)), atol=3e-2)
+    plain32 = SSD(dtype=jnp.float32, **kw)
+    fast32 = SSD(fast_blocks=True, dtype=jnp.float32, **kw)
+    np.testing.assert_allclose(
+        np.asarray(plain32.apply({"params": p}, x, train=False)),
+        np.asarray(fast32.apply({"params": p}, x, train=False)), atol=1e-4)
+
+
 def test_ssd_320_patch_sizes():
     ps = ssd_patch_sizes((320, 320))
     assert ps == (40, 20, 10, 5)
