@@ -165,12 +165,15 @@ def _nms_batch(output, ssd: bool, num_patches: int, image_size, prob, iou, capac
         ssd_output_decode_tables,
     )
 
-    if pallas_nms_available():
+    if pallas_nms_available() and output.shape[0] >= 8:
         # One whole-batch fused Pallas kernel (decode+filter+NMS): measured
         # faster than the vmapped XLA path on TPU (1.20 vs 1.46 ms/64-batch
         # at S=15; 1.42 vs 1.67 ms at 4774 priors); bit-identical outputs
         # below capacity saturation, MORE exact above it (the XLA path
         # pre-truncates to top-capacity scores — see nms_pallas module doc).
+        # Below b8 the vmapped XLA twin wins (b4 grid-block cost is
+        # pathological: +0.88 ms vs +0.04 — round-5 serving-band rows,
+        # logs/round5/serving_band.json), so tiny batches route there.
         if ssd:
             tables = ssd_output_decode_tables(output.shape[1], image_size)
         else:

@@ -90,7 +90,14 @@ def _decode_predictions(module, out, image_size, prob, iou, capacity,
     )
 
     if pallas_nms is None:
-        pallas_nms = pallas_nms_available()
+        # Batch-aware default (round-5 serving-band measurement,
+        # logs/round5/serving_band.json): from b8 up the fused batched
+        # Pallas kernel overlaps the forward entirely (+0.01 ms), but its
+        # grid-blocked fixed cost dominates tiny batches (b4: +0.88 ms vs
+        # +0.04 for the vmapped XLA twin; b1/b2 +0.14/+0.17 vs +0.10/+0.04).
+        # The paths are bit-identical below capacity saturation; above it
+        # the XLA twin pre-truncates to top-capacity scores (ledger'd).
+        pallas_nms = pallas_nms_available() and out.shape[0] >= 8
     if pallas_nms:
         # whole-batch fused Pallas kernel (faster than the vmapped XLA path
         # on TPU; see fdtpu/kernels/nms_pallas.py)

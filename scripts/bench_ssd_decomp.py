@@ -161,6 +161,88 @@ def main():
         emit(f"fwd_bwd{'_train' if train else ''}_ms",
              time_scan_ms(fwd_bwd_body, x, args.train_scan))
 
+    # production _loss_and_out fwd+bwd (the real loss path: sample_mask
+    # zeroing, enc-derived labels) on a precomputed encode — isolates any
+    # loss-path cost my fabricated-label arm misses
+    from fdtpu.core.priors import (
+        apply_priors, calculate_priors, encode_ssd_targets, prior_scales,
+    )
+    from fdtpu.train.step import _loss_and_out
+
+    boxes_p = np.zeros((B, 4, 5), np.float32)
+    boxes_p[:, 0] = [1.0, 40, 60, 120, 100]
+    bm_p = jnp.asarray(np.tile([True, False, False, False], (B, 1)))
+    enc_p = jax.vmap(lambda b, m: encode_ssd_targets(
+        b, m, tuple(module.patch_sizes), (S, S)))(jnp.asarray(boxes_p), bm_p)
+    gt_p = apply_priors(enc_p, calculate_priors(tuple(module.patch_sizes)),
+                        prior_scales(tuple(module.patch_sizes)))[..., 1:5]
+    sm_p = jnp.ones((B,), bool)
+    dkey = jax.random.PRNGKey(9)
+
+    gprod = jax.grad(
+        lambda p, c: _loss_and_out(module, p, {}, c, enc_p, gt_p, dkey,
+                                   True, 10, sm_p)[0], has_aux=False)
+
+    def prod_fwd_bwd_body(c):
+        gr = gprod(variables["params"], c)
+        s = jnp.sum(jax.tree_util.tree_leaves(gr)[0].astype(jnp.float32))
+        return c + (1e-12 * s).astype(c.dtype)
+
+    emit("prod_fwd_bwd_ms", time_scan_ms(prod_fwd_bwd_body, x,
+                                         args.train_scan))
+
+    # THE phantom-cost probe: same fwd+bwd but with the params as the scan
+    # CARRY (changing every iteration, like the production step) instead of
+    # a loop constant — isolates per-iteration parameter processing
+    # (f32->bf16 casts + MXU relayout of 70 small kernels).
+    def carry_fwd_bwd_body(p):
+        gr = jax.grad(lambda pp: net_loss(pp, x, False))(p)
+        return jax.tree_util.tree_map(lambda a, g: a + 1e-12 * g, p, gr)
+
+    emit("fwd_bwd_carryparams_ms",
+         time_scan_ms(carry_fwd_bwd_body, variables["params"],
+                      args.train_scan))
+
+    # ...and with a bf16 param tree carried (the model computes in bf16
+    # anyway — flax promote_dtype makes apply-from-bf16 numerically
+    # identical to cast-from-f32): if the phantom vanishes here, a bf16
+    # apply-copy in TrainState is a faithful-numerics fix.
+    p_bf16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), variables["params"])
+
+    def carry_bf16_body(p):
+        gr = jax.grad(lambda pp: net_loss(pp, x, False))(p)
+        return jax.tree_util.tree_map(lambda a, g: a + g * 1e-12, p, gr)
+
+    emit("fwd_bwd_carrybf16_ms",
+         time_scan_ms(carry_bf16_body, p_bf16, args.train_scan))
+
+    # adam update alone on the real tree (carry the opt state)
+    import optax
+
+    from fdtpu.train import create_train_state as _cts
+    from fdtpu.utils.config import TrainConfig as _TC
+
+    state0, tx0 = _cts(module, _TC(use_sam=False), jax.random.PRNGKey(0),
+                       100)
+    fab_grads = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 1e-6), state0.params)
+
+    def opt_body(st):
+        up, os2 = tx0.update(fab_grads, st.opt_state, st.params)
+        return st.replace(step=st.step + 1,
+                          params=optax.apply_updates(st.params, up),
+                          opt_state=os2)
+
+    emit("opt_only_ms", time_scan_ms(opt_body, state0, args.scan))
+
+    # global_norm alone over the grad-sized tree
+    def gnorm_body(st):
+        n = optax.global_norm(st.params)
+        return st.replace(step=st.step + (n > -1.0).astype(st.step.dtype))
+
+    emit("gnorm_only_ms", time_scan_ms(gnorm_body, state0, args.scan))
+
     # SAM two-point gradients around the same net loss (isolates
     # sam_gradients' perturbation/combine from the rest of the step)
     from fdtpu.train.sam import sam_gradients
