@@ -263,7 +263,15 @@ def _depthwise_filter_batch(imgs: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndar
     return out.reshape(kb, c, h, w).transpose(0, 2, 3, 1)
 
 
-def _sample_photometric_params_exact_k(key, b):
+def _photometric_counts(b: int) -> tuple[int, int, int]:
+    """Exact-k subset sizes per op from each op's own constant (they
+    currently coincide at 0.2, but the marginals must track their constants
+    independently)."""
+    count = lambda p: max(1, round(p * b)) if b > 1 else 1
+    return count(P_NOISE), count(P_GLASS), count(P_MOTION)
+
+
+def _sample_photometric_params_exact_k(key, b, start=None):
     """Exact-k variant of :func:`_sample_photometric_params`: the three
     expensive gates (noise, glass, motion) select exactly ``round(p*B)``
     batch members via a fresh permutation each — same marginal probability,
@@ -285,12 +293,22 @@ def _sample_photometric_params_exact_k(key, b):
     README faithful-vs-fixed ledger.
     """
     ks = jax.random.split(key, 8)
-    # per-op counts from each op's own constant (they currently coincide at
-    # 0.2, but the marginals must track their constants independently)
-    count = lambda p: max(1, round(p * b)) if b > 1 else 1
-    n_noise, n_glass, n_motion = count(P_NOISE), count(P_GLASS), count(P_MOTION)
+    n_noise, n_glass, n_motion = _photometric_counts(b)
 
-    if n_noise + n_glass + n_motion <= b:
+    if start is not None and start + n_noise + n_glass + n_motion <= b:
+        # positional subsets (round 5): contiguous ranges at ``start`` —
+        # valid only under shuffled feeds, where batch position is already a
+        # uniform permutation (the positional-crop argument, round 4). The
+        # 3k-row block then moves as STATIC slices instead of a row
+        # gather/scatter. Marginals stay exactly p per op; the ops become
+        # disjoint from the crop rows [0:start) too (ledger'd: the
+        # reference's independent gates co-fire crop x noise on ~4%).
+        noise_sel = jnp.arange(start, start + n_noise)
+        glass_sel = jnp.arange(start + n_noise, start + n_noise + n_glass)
+        motion_sel = jnp.arange(
+            start + n_noise + n_glass, start + n_noise + n_glass + n_motion
+        )
+    elif n_noise + n_glass + n_motion <= b:
         perm = jax.random.permutation(ks[4], b)
         noise_sel = perm[:n_noise]
         glass_sel = perm[n_noise : n_noise + n_glass]
@@ -331,7 +349,8 @@ def _sample_photometric_params_exact_k(key, b):
     return scalars, seeds, (noise_sel, glass_sel, motion_sel)
 
 
-def _apply_photometric_xla_subset(key, imgs, scalars, sels):
+def _apply_photometric_xla_subset(key, imgs, scalars, sels,
+                                  positional_start=None):
     """Production batched photometric chain: flip + brightness/contrast run
     whole-batch (bandwidth-trivial), while noise generation and the 5x5/7x7
     depthwise blurs run only on their exact-k subsets from
@@ -374,9 +393,17 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels):
         )
 
     if n_sel3 <= b:  # disjoint slices of one permutation: fuse the movement
-        sel3 = jnp.concatenate([noise_sel, glass_sel, motion_sel])
-        sub = lin[sel3]
-        sigma = scalars[noise_sel, 3].astype(imgs.dtype)
+        if positional_start is not None:
+            # contiguous subsets (shuffled feeds, round 5): the 3k-row block
+            # moves as STATIC slices — no row gather, and the write-back is
+            # one dynamic-update-slice instead of a scatter
+            s0 = positional_start
+            sub = lin[s0 : s0 + n_sel3]
+            sigma = scalars[s0 : s0 + n, 3].astype(imgs.dtype)
+        else:
+            sel3 = jnp.concatenate([noise_sel, glass_sel, motion_sel])
+            sub = lin[sel3]
+            sigma = scalars[noise_sel, 3].astype(imgs.dtype)
         noised = sub[:n] + sigma[:, None, None, None] * _noise_for(sub[:n].shape)
         g7 = jnp.zeros((7, 7), jnp.float32).at[1:6, 1:6].set(_gaussian_kernel5())
         ang = (scalars[motion_sel, 6] + 0.5) * jnp.pi / 16.0
@@ -385,9 +412,10 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels):
              jax.vmap(_motion_kernel7)(ang)]
         )
         blurred = _depthwise_filter_batch(sub[n:], kerns)
-        return _finish(lin).at[sel3].set(
-            _finish(jnp.concatenate([noised, blurred]))
-        )
+        done = _finish(jnp.concatenate([noised, blurred]))
+        if positional_start is not None:
+            return _finish(lin).at[s0 : s0 + n_sel3].set(done)
+        return _finish(lin).at[sel3].set(done)
     imgs = lin
     sub = imgs[noise_sel]
     sigma = scalars[noise_sel, 3].astype(imgs.dtype)
@@ -575,7 +603,16 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False,
     # per-plane program overhead outweighs the saved HBM passes); the kernel
     # stays available via FDTPU_PALLAS_AUGMENT=1
     # (fdtpu/kernels/augment_pallas.py).
-    scalars, seeds, sels = _sample_photometric_params_exact_k(kpost, b)
+    # positional subsets ride the same shuffled-feed argument as
+    # positional_crop: ranges start after the crop rows [0:k) (so the block
+    # fits at b128 alongside the rotate subset; co-fire crop x noise drops
+    # ~4% -> 0, ledger'd with the round-2 exclusivity row)
+    photo_start = (
+        k if positional_crop and k + sum(_photometric_counts(b)) <= b
+        else None
+    )
+    scalars, seeds, sels = _sample_photometric_params_exact_k(
+        kpost, b, start=photo_start)
     if use_pallas:
         from fdtpu.kernels import pallas_nms_available
         from fdtpu.kernels.augment_pallas import pallas_photometric_batch
@@ -589,7 +626,8 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False,
         )
     else:
         imgs = _apply_photometric_xla_subset(
-            jax.random.fold_in(kpost, 3), imgs, scalars, sels
+            jax.random.fold_in(kpost, 3), imgs, scalars, sels,
+            positional_start=photo_start,
         )
     boxes = _flip_boxes(boxes, masks, scalars[:, 0], imgs.shape[2])
     boxes = jnp.concatenate(

@@ -381,3 +381,80 @@ def test_batch_loader_process_shard_partitions(data_dir):
 
     with _pytest.raises(ValueError, match="divisible"):
         BatchLoader(src, batch_size=5, process_shard=(0, 2))
+
+
+def test_photometric_positional_matches_permutation_path():
+    """The positional (static-slice) photometric path must be bit-identical
+    to the gather/scatter path given the SAME subsets: feed the permutation
+    applier the arange selections the positional sampler produces."""
+    from fdtpu.data.augment import (
+        _apply_photometric_xla_subset,
+        _photometric_counts,
+        _sample_photometric_params_exact_k,
+    )
+
+    b, start = 32, 6
+    key = jax.random.PRNGKey(13)
+    imgs = jax.random.uniform(key, (b, 32, 32, 3), maxval=255.0)
+    scalars, _, sels = _sample_photometric_params_exact_k(
+        jax.random.PRNGKey(1), b, start=start
+    )
+    nn_, ng, nm = _photometric_counts(b)
+    np.testing.assert_array_equal(np.asarray(sels[0]),
+                                  np.arange(start, start + nn_))
+    np.testing.assert_array_equal(
+        np.asarray(sels[2]),
+        np.arange(start + nn_ + ng, start + nn_ + ng + nm))
+    kf = jax.random.PRNGKey(2)
+    got = _apply_photometric_xla_subset(kf, imgs, scalars, sels,
+                                        positional_start=start)
+    want = _apply_photometric_xla_subset(kf, imgs, scalars, sels)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_photometric_positional_production_wiring():
+    """augment_batch_fast(positional_crop=True) routes the photometric block
+    positionally when crop-k + 3k fits the batch: rows outside
+    [0, k_crop + 3k) keep their pixels up to flip/bc only (no noise/blur),
+    and the run is distribution-sane (pixels in [0, 1])."""
+    from fdtpu.data.augment import (
+        P_CROP, _photometric_counts, augment_batch_fast,
+    )
+
+    b = 32
+    k = round(P_CROP * b)
+    n3 = sum(_photometric_counts(b))
+    assert k + n3 <= b
+    key = jax.random.PRNGKey(17)
+    imgs = jax.random.uniform(key, (b, 32, 32, 3), maxval=255.0)
+    boxes = jnp.tile(jnp.asarray([[1.0, 4, 5, 8, 9]], jnp.float32),
+                     (b, 1))[:, None, :]
+    masks = jnp.ones((b, 1), bool)
+    oi, _, _ = augment_batch_fast(key, imgs, boxes, masks,
+                                  positional_crop=True)
+    oi = np.asarray(oi, np.float32)
+    assert oi.min() >= 0.0 and oi.max() <= 1.0
+    # tail rows past the positional windows: only flip (x-reverse) and/or
+    # bc (a*x+b then clip) may have touched them — per-row pixel multisets
+    # of clip(a*x+b)/255 vs original (possibly mirrored) must agree for
+    # rows where bc didn't saturate; at minimum the blur/noise subsets
+    # must NOT extend past k + n3 (blur correlates neighbours, noise is
+    # additive — both change the per-row variance structure). Check the
+    # untouched-tail invariant loosely: every tail row equals a clipped
+    # affine map of its input or its mirror.
+    src = np.asarray(imgs, np.float32)
+    for r in range(k + n3, b):
+        row = oi[r] * 255.0
+        cands = [src[r], src[r][:, ::-1]]
+        ok = False
+        for c in cands:
+            mask = (row > 1e-3) & (row < 254.9) & (c > 1e-3)
+            if mask.sum() < 100:
+                ok = True  # saturated row: can't identify, skip
+                break
+            a = np.polyfit(c[mask].ravel(), row[mask].ravel(), 1)
+            pred = np.clip(a[0] * c + a[1], 0, 255)
+            if np.abs(pred[mask] - row[mask]).max() < 3.0:
+                ok = True
+                break
+        assert ok, f"tail row {r} was touched by noise/blur"
