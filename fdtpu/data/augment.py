@@ -8,8 +8,10 @@ is split by what each processor is good at:
 ==========================  =====  =========================================
 reference op                p      fdtpu implementation
 ==========================  =====  =========================================
-RandomResizedCrop           0.2    device: ``jax.image.scale_and_translate``
-                                   (separable MXU resampling, ~4 ms / 64x320)
+RandomResizedCrop           0.2    device: separable MXU resampling (the
+                                   contraction ``jax.image.scale_and_translate``
+                                   lowers to, weight mats built closed-form —
+                                   see :func:`_crop_weight_mat`)
 Resize                      1.0    host decode-time resize (pipeline.py;
                                    native libjpeg path when built)
 HorizontalFlip              0.5    device: lane reverse
@@ -107,20 +109,44 @@ def _sample_crop(keys, h: int, w: int, gate: bool = True):
 # -- the device pipeline -------------------------------------------------------
 
 
+def _crop_weight_mat(size: int, offset, span):
+    """Closed-form linear-resize weight matrix for a crop window
+    ``[offset, offset + span)`` resampled back to ``size`` samples.
+
+    Numerically equivalent (to ~1 ulp on the f32 weights) to
+    ``jax.image.compute_weight_mat`` with the triangle kernel,
+    ``antialias=False`` and the same geometry, but built in two fused
+    elementwise passes instead of jax's five (abs-diff, kernel, a
+    sum-reduction over the input axis, a normalizing divide, and an
+    out-of-range mask): crops always upsample (``span <= size``), so every
+    interior sample's two triangle taps already sum to 1 and jax's
+    normalization only acts at the half-pixel borders — where dividing a
+    lone clipped tap by itself equals clamping the sample position into
+    ``[0, size - 1]``. The per-step construction of these matrices (the
+    window changes every step, so nothing can be hoisted) measured ~0.8 ms
+    of the 1.0 ms crop-resample row at b128/320px
+    (``logs/round5/crop_arms.json``); this form cuts the construction to
+    the two passes XLA fuses into one. Equivalence is gated by
+    ``tests/test_data.py::test_crop_resample_matches_jax_image``.
+    """
+    pos = offset + (jnp.arange(size, dtype=jnp.float32) + 0.5) * (
+        span / size
+    ) - 0.5
+    pos = jnp.clip(pos, 0.0, float(size - 1))
+    x = jnp.abs(pos[None, :] - jnp.arange(size, dtype=jnp.float32)[:, None])
+    return jnp.maximum(0.0, 1.0 - x)  # (in, out)
+
+
 def _apply_crop(img, boxes, mask, cx, cy, cw, ch):
     """Resample the crop window to full size and transform boxes."""
     h, w = img.shape[0], img.shape[1]
     sy, sx = h / ch, w / cw
-    # output[o] samples input[(o - t)/s]; we want input = c + o/s
-    img = jax.image.scale_and_translate(
-        img,
-        (h, w, 3),
-        (0, 1),
-        jnp.stack([sy, sx]),
-        jnp.stack([-cy * sy, -cx * sx]),
-        method="linear",
-        antialias=False,  # crop scales are >= 1 (upsampling)
-    )
+    # output[o] samples input[c + o/s]; same contraction jax.image's
+    # scale_and_translate lowers to, with the weight mats built cheaply
+    # (weights cast to the image dtype exactly as jax's implementation does)
+    wy = _crop_weight_mat(h, cy, ch).astype(img.dtype)
+    wx = _crop_weight_mat(w, cx, cw).astype(img.dtype)
+    img = jnp.einsum("hwc,ho,wp->opc", img, wy, wx, precision="highest")
     bx = (boxes[:, 1] - cx) * sx
     by = (boxes[:, 2] - cy) * sy
     bw = boxes[:, 3] * sx
@@ -350,7 +376,8 @@ def _sample_photometric_params_exact_k(key, b, start=None):
 
 
 def _apply_photometric_xla_subset(key, imgs, scalars, sels,
-                                  positional_start=None):
+                                  positional_start=None,
+                                  positional_flip=False):
     """Production batched photometric chain: flip + brightness/contrast run
     whole-batch (bandwidth-trivial), while noise generation and the 5x5/7x7
     depthwise blurs run only on their exact-k subsets from
@@ -369,9 +396,20 @@ def _apply_photometric_xla_subset(key, imgs, scalars, sels,
     n = noise_sel.shape[0]
     n_sel3 = n + glass_sel.shape[0] + motion_sel.shape[0]
     imgs = imgs.astype(jnp.bfloat16)
-    lin = jnp.where(
-        scalars[:, 0, None, None, None] > 0.5, imgs[:, :, ::-1, :], imgs
-    )
+    if positional_flip:
+        # P_FLIP is exactly 1/2, so under shuffled feeds the flip subset can
+        # be positional too: odd batch rows flip, a STATIC pairwise reverse
+        # (one read/row) instead of the where-select (two reads/row, the
+        # reverse operand materializes whole-batch). Caller has already set
+        # scalars[:, 0] to the row parity so _flip_boxes and this agree.
+        x = imgs.reshape(b // 2, 2, *imgs.shape[1:])
+        lin = jnp.concatenate(
+            [x[:, :1], x[:, 1:, :, ::-1, :]], axis=1
+        ).reshape(imgs.shape)
+    else:
+        lin = jnp.where(
+            scalars[:, 0, None, None, None] > 0.5, imgs[:, :, ::-1, :], imgs
+        )
     lin = lin * scalars[:, 1, None, None, None].astype(
         lin.dtype
     ) + scalars[:, 2, None, None, None].astype(lin.dtype)
@@ -543,9 +581,9 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False,
     use_pallas = os.environ.get("FDTPU_PALLAS_AUGMENT") == "1"
     # The batch lives in bf16 end to end (uint8 pixel range is exact in bf16;
     # the model casts to bf16 anyway) — halves every full-batch HBM pass.
-    # The crop resample is geometry-exact in bf16 too: scale_and_translate
-    # computes its weight matrices in f32 and only casts the finished
-    # weights to the image dtype (jax _scale_and_translate), so bf16 costs
+    # The crop resample is geometry-exact in bf16 too: _apply_crop builds
+    # its weight matrices in f32 and only casts the finished weights to
+    # the image dtype (mirroring jax _scale_and_translate), so bf16 costs
     # ~0.4% on pixel blending, nothing on box coordinates (transformed
     # separately in f32). The Mosaic photometric kernel only rolls f32, so
     # that path stays f32.
@@ -613,6 +651,18 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False,
     )
     scalars, seeds, sels = _sample_photometric_params_exact_k(
         kpost, b, start=photo_start)
+    # flip subset goes positional with the others (P_FLIP is exactly 1/2):
+    # odd rows flip. Marginal stays 1/2 under shuffled feeds (positions are
+    # a fresh uniform permutation per epoch); pairwise co-fire with the
+    # crop rows [0:k) is (k/2)/b = P_FLIP*P_CROP exactly (k even at b128),
+    # and the batch flip COUNT pins at b/2 — the same exact-k deviation
+    # class as the crop subset (README ledger). Buys a static pairwise
+    # reverse instead of a whole-batch two-read where-select.
+    positional_flip = bool(positional_crop) and b % 2 == 0 and not use_pallas
+    if positional_flip:
+        scalars = scalars.at[:, 0].set(
+            (jnp.arange(b) % 2).astype(scalars.dtype)
+        )
     if use_pallas:
         from fdtpu.kernels import pallas_nms_available
         from fdtpu.kernels.augment_pallas import pallas_photometric_batch
@@ -627,7 +677,7 @@ def augment_batch_fast(key, imgs, boxes, masks, rotate: bool = False,
     else:
         imgs = _apply_photometric_xla_subset(
             jax.random.fold_in(kpost, 3), imgs, scalars, sels,
-            positional_start=photo_start,
+            positional_start=photo_start, positional_flip=positional_flip,
         )
     boxes = _flip_boxes(boxes, masks, scalars[:, 0], imgs.shape[2])
     boxes = jnp.concatenate(

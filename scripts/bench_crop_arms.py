@@ -13,11 +13,24 @@ Arms (identical math — the weight matrices come from jax's own
 ``compute_weight_mat``, so each arm computes the same two contractions in a
 different layout):
 
-* ``prod``     — vmapped ``scale_and_translate`` (shipped path).
+* ``prod``     — vmapped ``scale_and_translate`` (round-4 shipped path).
 * ``cmajor``   — transpose to (k, c, h, w), two einsums with 320-wide
   minor dims, transpose back.
 * ``lanefold`` — vertical pass with (w*c)=960 folded lanes
   (``bho,bhX->boX``), horizontal pass on (k, o, w, c).
+
+The arms above take PRE-BUILT weight matrices, so XLA hoists the ~0.8 ms
+per-step construction out of the scan (that hoist is how round 5 found the
+construction was the real cost). Two further arms sample fresh geometry
+INSIDE each scan step, measuring construction + contraction like the real
+train step:
+
+* ``prod_full`` — per-step ``_sample_crop`` + ``scale_and_translate``
+  (jax's five-pass ``compute_weight_mat``: abs-diff, kernel, sum-reduce,
+  divide, range mask).
+* ``fast_full`` — per-step ``_sample_crop`` + the closed-form clamped
+  construction (``augment._crop_weight_mat``, round-5 shipped path) +
+  the same einsum.
 
 Gated allclose vs prod on one batch before timing. One JSON line.
 
@@ -136,6 +149,48 @@ def main():
             return c + (1e-7 * s).astype(c.dtype)
         results[f"{name}_ms"] = round(
             time_scan_ms(body, imgs, args.scan), 3)
+
+    # ---- construction-included arms (geometry re-sampled per step, like
+    # the train step — nothing hoistable) ----
+    def crop_slow(ks5, im):
+        cx, cy, cw, ch = _sample_crop(ks5, S, S, gate=False)
+        vy, vx = S / ch, S / cw
+        return jax.image.scale_and_translate(
+            im, (S, S, 3), (0, 1), jnp.stack([vy, vx]),
+            jnp.stack([-cy * vy, -cx * vx]), method="linear",
+            antialias=False,
+        )
+
+    def crop_fast(ks5, im):
+        cx, cy, cw, ch = _sample_crop(ks5, S, S, gate=False)
+        wy = A._crop_weight_mat(S, cy, ch).astype(im.dtype)
+        wx = A._crop_weight_mat(S, cx, cw).astype(im.dtype)
+        return jnp.einsum("hwc,ho,wp->opc", im, wy, wx, precision="highest")
+
+    gk = jax.random.split(jax.random.PRNGKey(9), k)
+    slow1 = jax.device_get(jax.jit(jax.vmap(
+        lambda ck, im: crop_slow(jax.random.split(ck, 5), im)))(gk, imgs))
+    fast1 = jax.device_get(jax.jit(jax.vmap(
+        lambda ck, im: crop_fast(jax.random.split(ck, 5), im)))(gk, imgs))
+    results["full_maxdiff"] = float(
+        np.abs(slow1.astype(np.float32) - fast1.astype(np.float32)).max())
+
+    def full_body(crop_fn):
+        def body(c):
+            x, kk = c
+            kk, ks = jax.random.split(kk)
+            cks = jax.random.split(ks, k)
+            y = jax.vmap(
+                lambda ck, im: crop_fn(jax.random.split(ck, 5), im)
+            )(cks, x)
+            s = jnp.sum(y[:1, :1, :1].astype(jnp.float32))
+            return (x + (1e-7 * s).astype(x.dtype), kk)
+        return body
+
+    for name, fn in (("prod_full", crop_slow), ("fast_full", crop_fast)):
+        results[f"{name}_ms"] = round(
+            time_scan_ms(full_body(fn), (imgs, jax.random.PRNGKey(4)),
+                         args.scan), 3)
 
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results))

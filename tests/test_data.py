@@ -123,6 +123,80 @@ def test_photometric_subset_matches_whole_batch_twin():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
 
 
+def test_positional_flip_is_row_parity():
+    """With ``positional_crop=True`` (shuffled feeds) the flip subset is
+    positional too: odd batch rows flip, even rows don't — visible in the
+    box x-coordinates of the un-cropped rows (crop rows [0:k) rescale their
+    boxes; photometric ops never touch boxes)."""
+    from fdtpu.data.augment import P_CROP, augment_batch_fast
+
+    b, h, w = 16, 32, 32
+    k = round(P_CROP * b)
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.integers(0, 255, (b, h, w, 3)).astype(np.float32))
+    boxes = jnp.tile(jnp.asarray([[1.0, 10.0, 5.0, 4.0, 6.0]]), (b, 1))[:, None]
+    masks = jnp.ones((b, 1), bool)
+    _, out_b, _ = augment_batch_fast(
+        jax.random.PRNGKey(2), imgs, boxes, masks, positional_crop=True
+    )
+    out_b = np.asarray(out_b)
+    for i in range(k, b):
+        want_x = w - 10.0 - 4.0 if i % 2 == 1 else 10.0
+        assert out_b[i, 0, 1] == want_x, (i, out_b[i, 0])
+        assert out_b[i, 0, 3] == 4.0 and out_b[i, 0, 4] == 6.0
+
+
+def test_crop_resample_matches_jax_image():
+    """The closed-form crop weight construction (``_crop_weight_mat``) must
+    reproduce ``jax.image.scale_and_translate`` — jax's normalize-by-sum at
+    the half-pixel borders equals clamping the sample position for
+    upsampling crops, and interior triangle taps already sum to 1, so the
+    only residual is ~1-ulp f32 weight rounding (jax divides by a
+    1.0±1ulp sum; amplified at most one bf16 ulp per weight after the
+    image-dtype cast)."""
+    from fdtpu.data.augment import _apply_crop, _crop_weight_mat, _sample_crop
+
+    h = w = 64
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.integers(0, 255, (h, w, 3)).astype(np.float32))
+    boxes = jnp.zeros((4, 5), jnp.float32)
+    mask = jnp.zeros((4,), bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+
+    def jax_image_crop(im, cx, cy, cw, ch):
+        sy, sx = h / ch, w / cw
+        return jax.image.scale_and_translate(
+            im, (h, w, 3), (0, 1), jnp.stack([sy, sx]),
+            jnp.stack([-cy * sy, -cx * sx]), method="linear",
+            antialias=False,
+        )
+
+    for k in keys:
+        cx, cy, cw, ch = _sample_crop(jax.random.split(k, 5), h, w,
+                                      gate=False)
+        got = _apply_crop(img, boxes, mask, cx, cy, cw, ch)[0]
+        want = jax_image_crop(img, cx, cy, cw, ch)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=0)
+        # bf16 images (the batched production dtype): both paths cast the
+        # f32 weights to the image dtype, so they stay within one bf16 ulp
+        # of each other per weight (<= ~2 intensity levels after blending)
+        got16 = _apply_crop(img.astype(jnp.bfloat16), boxes, mask,
+                            cx, cy, cw, ch)[0].astype(np.float32)
+        want16 = np.asarray(
+            jax_image_crop(img.astype(jnp.bfloat16), cx, cy, cw, ch)
+        ).astype(np.float32)
+        np.testing.assert_allclose(got16, want16, atol=2.0, rtol=0)
+
+    # identity window (cw=w, ch=h, offsets 0): weights are exactly the
+    # identity matrix, pixels pass through bit-exact
+    ident = _crop_weight_mat(h, jnp.float32(0.0), jnp.float32(h))
+    np.testing.assert_array_equal(np.asarray(ident), np.eye(h, dtype=np.float32))
+    out = _apply_crop(img, boxes, mask, jnp.float32(0.0), jnp.float32(0.0),
+                      jnp.float32(w), jnp.float32(h))[0]
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
 def test_positional_crop_first_k_rows_only():
     """``positional_crop=True`` must crop exactly the first ``round(P_CROP*B)``
     rows: later rows keep their box w/h (flip/photometric never rescale),
